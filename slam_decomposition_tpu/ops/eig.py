@@ -1,0 +1,217 @@
+"""Fixed-sweep Jacobi eigensolvers.
+
+Why not ``jnp.linalg.eigh``: on TPU its XLA lowering takes ~2 minutes to
+compile per shape and ``jnp.linalg.eig`` (non-Hermitian) does not lower to
+TPU at all. For the 4x4/8x8 matrices in this domain, cyclic Jacobi with a
+*fixed* sweep count is branch-free, compiles in seconds, vmaps over
+100k-element batches, and reaches 1e-15 off-diagonal residual in <=8 sweeps.
+
+Three solvers:
+  * ``jacobi_eigh``        — real symmetric NxN
+  * ``joint_diag``         — two commuting real symmetric matrices (the core
+                             of Weyl-coordinate extraction: a complex
+                             symmetric unitary m splits into commuting
+                             Re(m), Im(m); reference used a randomized
+                             rescue loop, weyl_decompose.py:249-257 — this
+                             formulation is deterministic)
+  * ``eigh_hermitian``     — complex Hermitian via complex Givens rotations
+                             on (re, im) pairs
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from slam_decomposition_tpu.ops import cplx
+
+_PAIRS4 = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (1, 3)]
+
+_HALF_PI = 1.5707963267948966
+
+
+def _fold_angle(theta):
+    """Wrap a zeroing angle into [-pi/4, pi/4] (the +-pi/2-shifted rotation
+    also zeroes the pivot but swaps diagonal entries; bounded angles are
+    required for Jacobi's quadratic convergence)."""
+    return theta - _HALF_PI * jnp.round(theta / _HALF_PI)
+
+
+def _pairs(n: int):
+    return [(p, q) for p in range(n) for q in range(p + 1, n)]
+
+
+def _givens_apply(A, p, q, c, s):
+    """A <- G A G^T for real Givens G(p,q,theta) with c=cos, s=sin."""
+    c = jnp.asarray(c)[..., None]
+    s = jnp.asarray(s)[..., None]
+    Ap = A[..., p, :] * c + A[..., q, :] * s
+    Aq = -A[..., p, :] * s + A[..., q, :] * c
+    A = A.at[..., p, :].set(Ap).at[..., q, :].set(Aq)
+    Ap = A[..., :, p] * c + A[..., :, q] * s
+    Aq = -A[..., :, p] * s + A[..., :, q] * c
+    A = A.at[..., :, p].set(Ap).at[..., :, q].set(Aq)
+    return A
+
+
+def _rot_apply_right(V, p, q, c, s):
+    """V <- V G^T."""
+    c = jnp.asarray(c)[..., None]
+    s = jnp.asarray(s)[..., None]
+    Vp = V[..., :, p] * c + V[..., :, q] * s
+    Vq = -V[..., :, p] * s + V[..., :, q] * c
+    return V.at[..., :, p].set(Vp).at[..., :, q].set(Vq)
+
+
+def jacobi_eigh(A, sweeps: int = 10):
+    """Real symmetric eigendecomposition. Returns (w, V): A = V diag(w) V^T.
+
+    Eigenvalues are sorted ascending.
+    """
+    n = A.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape).copy()
+    pairs = _pairs(n)
+
+    def sweep(carry, _):
+        A, V = carry
+        for (p, q) in pairs:
+            app = A[..., p, p]
+            aqq = A[..., q, q]
+            apq = A[..., p, q]
+            # this similarity is A -> G A G^T with G=[[c,s],[-s,c]]; the
+            # pivot zeroing angle satisfies tan(2t) = 2 apq / (app - aqq)
+            theta = _fold_angle(0.5 * jnp.arctan2(2.0 * apq, app - aqq))
+            c = jnp.cos(theta)
+            s = jnp.sin(theta)
+            A = _givens_apply(A, p, q, c, s)
+            V = _rot_apply_right(V, p, q, c, s)
+        return (A, V), None
+
+    (A, V), _ = jax.lax.scan(sweep, (A, V), None, length=sweeps)
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
+def joint_diag(X, Y, sweeps: int = 12):
+    """Jointly diagonalize two commuting real symmetric matrices.
+
+    Returns (x, y, V) with X = V diag(x) V^T and Y = V diag(y) V^T,
+    V orthogonal. Uses Cardoso-Souloumiac joint Jacobi: each rotation angle
+    minimizes the summed squared off-diagonals of both matrices, which
+    resolves degeneracies in either matrix alone (the reason the reference
+    needed 100 randomized retries, weyl_decompose.py:250).
+    """
+    n = X.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=X.dtype), X.shape).copy()
+    pairs = _pairs(n)
+
+    def sweep(carry, _):
+        X, Y, V = carry
+        for (p, q) in pairs:
+            # for each matrix M: off' = off*cos2t - (dpp-dqq)/2 * sin2t
+            ux = X[..., p, q]
+            vx = 0.5 * (X[..., p, p] - X[..., q, q])
+            uy = Y[..., p, q]
+            vy = 0.5 * (Y[..., p, p] - Y[..., q, q])
+            # Cardoso-Souloumiac: minimize summed squared off-diagonals;
+            # with this G A G^T convention: 4t = atan2(2<u,v>, <v,v>-<u,u>)
+            num = 2.0 * (ux * vx + uy * vy)
+            den = vx * vx + vy * vy - ux * ux - uy * uy
+            theta = 0.25 * jnp.arctan2(num, den)
+            c = jnp.cos(theta)
+            s = jnp.sin(theta)
+            X = _givens_apply(X, p, q, c, s)
+            Y = _givens_apply(Y, p, q, c, s)
+            V = _rot_apply_right(V, p, q, c, s)
+        return (X, Y, V), None
+
+    (X, Y, V), _ = jax.lax.scan(sweep, (X, Y, V), None, length=sweeps)
+    x = jnp.diagonal(X, axis1=-2, axis2=-1)
+    y = jnp.diagonal(Y, axis1=-2, axis2=-1)
+    return x, y, V
+
+
+def eigh_hermitian(H: cplx.CMat, sweeps: int = 10):
+    """Complex Hermitian eigendecomposition on (re, im) pairs.
+
+    Returns (w, V) with H = V diag(w) V^dagger, w real ascending.
+    Complex Givens: for pivot (p,q) use phase phi = angle(H[p,q]) and
+    tan(2 theta) = 2|H[p,q]| / (H[p,p] - H[q,q]).
+    """
+    Hr, Hi = H
+    n = Hr.shape[-1]
+    Vr = jnp.broadcast_to(jnp.eye(n, dtype=Hr.dtype), Hr.shape).copy()
+    Vi = jnp.zeros_like(Vr)
+    pairs = _pairs(n)
+
+    def crot(Ar, Ai, p, q, c, sr, si):
+        """A <- J^dagger A J with J[p,p]=c, J[q,q]=c, J[p,q]=s, J[q,p]=-conj(s)
+        where s = sr + i si (|s|^2 + c^2 = 1)."""
+        c = jnp.asarray(c)[..., None]
+        sr = jnp.asarray(sr)[..., None]
+        si = jnp.asarray(si)[..., None]
+        # rows: (J^dagger A): row_p' = c*row_p - s_conj... J^dagger[p,p]=c,
+        # J^dagger[p,q]=-s, J^dagger[q,p]=conj(s), J^dagger[q,q]=c
+        Apr, Api = Ar[..., p, :], Ai[..., p, :]
+        Aqr, Aqi = Ar[..., q, :], Ai[..., q, :]
+        new_pr = c * Apr - (sr * Aqr - si * Aqi)
+        new_pi = c * Api - (sr * Aqi + si * Aqr)
+        new_qr = (sr * Apr + si * Api) + c * Aqr
+        new_qi = (sr * Api - si * Apr) + c * Aqi
+        Ar = Ar.at[..., p, :].set(new_pr).at[..., q, :].set(new_qr)
+        Ai = Ai.at[..., p, :].set(new_pi).at[..., q, :].set(new_qi)
+        # cols: (A J): col_p' = c*col_p + conj? J[p,p]=c, J[q,p]=-conj(s),
+        # J[p,q]=s, J[q,q]=c  => col_p' = c*col_p - conj(s)*col_q
+        Apr, Api = Ar[..., :, p], Ai[..., :, p]
+        Aqr, Aqi = Ar[..., :, q], Ai[..., :, q]
+        new_pr = c * Apr - (sr * Aqr + si * Aqi)
+        new_pi = c * Api - (sr * Aqi - si * Aqr)
+        new_qr = (sr * Apr - si * Api) + c * Aqr
+        new_qi = (sr * Api + si * Apr) + c * Aqi
+        Ar = Ar.at[..., :, p].set(new_pr).at[..., :, q].set(new_qr)
+        Ai = Ai.at[..., :, p].set(new_pi).at[..., :, q].set(new_qi)
+        return Ar, Ai
+
+    def crot_right(Vr, Vi, p, q, c, sr, si):
+        c = jnp.asarray(c)[..., None]
+        sr = jnp.asarray(sr)[..., None]
+        si = jnp.asarray(si)[..., None]
+        Vpr, Vpi = Vr[..., :, p], Vi[..., :, p]
+        Vqr, Vqi = Vr[..., :, q], Vi[..., :, q]
+        new_pr = c * Vpr - (sr * Vqr + si * Vqi)
+        new_pi = c * Vpi - (sr * Vqi - si * Vqr)
+        new_qr = (sr * Vpr - si * Vpi) + c * Vqr
+        new_qi = (sr * Vpi + si * Vpr) + c * Vqi
+        Vr = Vr.at[..., :, p].set(new_pr).at[..., :, q].set(new_qr)
+        Vi = Vi.at[..., :, p].set(new_pi).at[..., :, q].set(new_qi)
+        return Vr, Vi
+
+    def sweep(carry, _):
+        Hr, Hi, Vr, Vi = carry
+        for (p, q) in pairs:
+            hr = Hr[..., p, q]
+            hi = Hi[..., p, q]
+            mag = jnp.sqrt(hr * hr + hi * hi)
+            phi = jnp.arctan2(hi, hr)
+            theta = _fold_angle(
+                0.5 * jnp.arctan2(2.0 * mag, Hr[..., p, p] - Hr[..., q, q])
+            )
+            c = jnp.cos(theta)
+            st = jnp.sin(theta)
+            # s = -sin(t) e^{i phi} zeroes the off-diagonal for this J layout
+            sr = -st * jnp.cos(phi)
+            si = -st * jnp.sin(phi)
+            Hr, Hi = crot(Hr, Hi, p, q, c, sr, si)
+            Vr, Vi = crot_right(Vr, Vi, p, q, c, sr, si)
+        return (Hr, Hi, Vr, Vi), None
+
+    (Hr, Hi, Vr, Vi), _ = jax.lax.scan(sweep, (Hr, Hi, Vr, Vi), None, length=sweeps)
+    w = jnp.diagonal(Hr, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    Vr = jnp.take_along_axis(Vr, order[..., None, :], axis=-1)
+    Vi = jnp.take_along_axis(Vi, order[..., None, :], axis=-1)
+    return w, (Vr, Vi)
