@@ -1,0 +1,229 @@
+"""TemplateOptimizer: batched multi-start variational synthesis.
+
+The reference's optimizer (optimizer.py:23-313) loops serially over targets,
+spanning sizes k, and 5 restarts, calling scipy with finite-difference
+gradients. Here the whole distribution is solved as one device program per
+k: vmap over (targets x restarts) of a jit-compiled L-BFGS with exact
+gradients, then a best-over-restarts reduction and per-target early-exit
+masking over k.
+
+API mirrors the reference's 4-object idiom (README.md:33-52):
+    basis builder (k -> Ansatz) + objective + TemplateOptimizer + targets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Iterable, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from slam_decomposition_tpu.config import config
+from slam_decomposition_tpu.models.templates import Ansatz
+from slam_decomposition_tpu.opt import costs as cost_lib
+from slam_decomposition_tpu.opt.minimize import lbfgs
+from slam_decomposition_tpu.ops import cplx, weyl
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    """Per-target outcome — mirrors DataDictEntry (basis_abc.py:93-98)."""
+
+    success: np.ndarray  # (B,) bool
+    loss: np.ndarray  # (B,)
+    params: np.ndarray  # (B, n_max) padded
+    cycles: np.ndarray  # (B,) chosen k
+    n_params: np.ndarray  # (B,) valid length of params
+
+
+def _as_pair(targets) -> cplx.CMat:
+    if isinstance(targets, tuple):
+        return targets
+    arr = np.asarray(targets)
+    if arr.ndim == 2:
+        arr = arr[None]
+    return cplx.from_numpy(arr)
+
+
+class TemplateOptimizer:
+    def __init__(
+        self,
+        basis: Union[Ansatz, Callable[[int], Ansatz]],
+        objective: Union[str, Callable] = "square",
+        success_threshold: Optional[float] = None,
+        training_restarts: Optional[int] = None,
+        max_iters: Optional[int] = None,
+        spanning_range: Optional[Sequence[int]] = None,
+        seed: int = 0,
+        override_fail: bool = False,
+        constraint_max_cost: Optional[float] = None,
+        penalty_weight: float = 10.0,
+        use_callback: bool = False,
+    ):
+        if isinstance(basis, Ansatz):
+            fixed = basis
+            self.builder = lambda k: fixed
+            spanning_range = spanning_range or [fixed.k]
+        else:
+            self.builder = basis
+        self.spanning_range = list(spanning_range or range(1, 6))
+        self.objective = (
+            cost_lib.COSTS[objective] if isinstance(objective, str) else objective
+        )
+        self.success_threshold = (
+            success_threshold
+            if success_threshold is not None
+            else config.success_threshold
+        )
+        self.training_restarts = (
+            training_restarts
+            if training_restarts is not None
+            else config.training_restarts
+        )
+        self.max_iters = max_iters if max_iters is not None else config.max_opt_iters
+        self.seed = seed
+        self.override_fail = override_fail
+        self.constraint_max_cost = constraint_max_cost
+        self.penalty_weight = penalty_weight
+        self.use_callback = use_callback
+        self.training_loss: list = []  # per solve: final losses
+        self.coordinate_list: list = []
+        self._solver_cache: Dict[Tuple, Callable] = {}
+
+    # ------------------------------------------------------------------
+
+    def _make_solver(self, ansatz: Ansatz, batch: int, restarts: int):
+        key = (id(ansatz.eval_fn), batch, restarts)
+        if key in self._solver_cache:
+            return self._solver_cache[key]
+
+        objective = self.objective
+        threshold = self.success_threshold
+        max_iters = self.max_iters
+        lower = jnp.asarray(ansatz.lower) if ansatz.use_bounds else None
+        upper = jnp.asarray(ansatz.upper) if ansatz.use_bounds else None
+        cons_cost = self.constraint_max_cost
+        penalty_w = self.penalty_weight
+        cost_fn = ansatz.cost_fn
+
+        def loss_for(x, tgt):
+            val = objective(ansatz.eval_fn(x), tgt)
+            if cons_cost is not None and cost_fn is not None:
+                # exterior penalty for circuit_cost(x) <= cons_cost
+                viol = jnp.maximum(cost_fn(x) - cons_cost, 0.0)
+                val = val + penalty_w * viol * viol
+            return val
+
+        def solve_one(x0, tgt):
+            return lbfgs(
+                lambda x: loss_for(x, tgt),
+                x0,
+                max_iters=max_iters,
+                f_tol=threshold * 0.5,
+                g_tol=1e-14,
+                lower=lower,
+                upper=upper,
+            )
+
+        def solve(x0s, tgt_pair):
+            # x0s: (B, R, n); tgt_pair: ((B,4,4), (B,4,4))
+            inner = jax.vmap(solve_one, in_axes=(0, None))  # restarts
+            outer = jax.vmap(inner, in_axes=(0, 0))  # targets
+            res = outer(x0s, tgt_pair)
+            best = jnp.argmin(res.f, axis=1)
+            take = lambda a: jnp.take_along_axis(
+                a, best.reshape(-1, *([1] * (a.ndim - 1))), axis=1
+            ).squeeze(1)
+            return take(res.x), take(res.f), res.n_iters.sum()
+
+        solver = jax.jit(solve)
+        self._solver_cache[key] = solver
+        return solver
+
+    def _init_params(self, key, ansatz: Ansatz, batch: int, restarts: int):
+        lo = jnp.asarray(ansatz.lower)
+        hi = jnp.asarray(ansatz.upper)
+        u = jax.random.uniform(key, (batch, restarts, ansatz.n_params), dtype=lo.dtype)
+        return lo + u * (hi - lo)
+
+    # ------------------------------------------------------------------
+
+    def approximate_from_distribution(
+        self,
+        targets,
+        spanning_ranges: Optional[Sequence[Sequence[int]]] = None,
+    ) -> SynthesisResult:
+        """Solve a batch of targets. ``spanning_ranges`` optionally gives a
+        per-target k list (e.g. exact monodromy ranges); default is the
+        shared spanning range with per-target early exit
+        (optimizer.py:180-186 + 233-303 semantics, batched)."""
+        tgt = _as_pair(targets)
+        B = tgt[0].shape[0]
+        ks = sorted(set(self.spanning_range))
+        per_target_ks = None
+        if spanning_ranges is not None:
+            per_target_ks = [list(r) for r in spanning_ranges]
+            ks = sorted(set(k for r in per_target_ks for k in r))
+
+        n_max = max(self.builder(k).n_params for k in ks)
+        best_loss = np.full(B, np.inf)
+        best_x = np.zeros((B, n_max))
+        best_k = np.full(B, -1, dtype=int)
+        best_np = np.zeros(B, dtype=int)
+        solved = np.zeros(B, dtype=bool)
+
+        key = jax.random.PRNGKey(self.seed)
+        for k in ks:
+            active = ~solved
+            if per_target_ks is not None:
+                eligible = np.array([k in r for r in per_target_ks])
+                active = active & eligible
+            if not active.any():
+                continue
+            ansatz = self.builder(k)
+            solver = self._make_solver(ansatz, B, self.training_restarts)
+            key, sub = jax.random.split(key)
+            x0s = self._init_params(sub, ansatz, B, self.training_restarts)
+            xs, fs, _ = solver(x0s, tgt)
+            xs = np.asarray(xs)
+            fs = np.asarray(fs)
+            improve = active & (fs < best_loss)
+            best_loss = np.where(improve, fs, best_loss)
+            best_k = np.where(improve, k, best_k)
+            best_np = np.where(improve, ansatz.n_params, best_np)
+            best_x[improve, : ansatz.n_params] = xs[improve]
+            solved = solved | (active & (fs <= self.success_threshold))
+
+        success = best_loss <= self.success_threshold
+        if not success.all() and not self.override_fail:
+            worst = float(best_loss.max())
+            raise ValueError(
+                f"{int((~success).sum())}/{B} targets failed to converge below "
+                f"{self.success_threshold} (worst loss {worst:.3e}). Increase "
+                "restarts/spanning range or set override_fail=True."
+            )
+        self.training_loss.append(best_loss)
+        return SynthesisResult(
+            success=success,
+            loss=best_loss,
+            params=best_x,
+            cycles=best_k,
+            n_params=best_np,
+        )
+
+    def approximate_target_U(self, target_U) -> SynthesisResult:
+        """Single-target convenience wrapper (optimizer.py:65)."""
+        return self.approximate_from_distribution(np.asarray(target_U)[None])
+
+    # ------------------------------------------------------------------
+
+    def cost_from_distribution(self, targets, unit_costs: Dict[int, float]):
+        """Total polytope cost over a distribution without fitting 1Q params
+        (optimizer.py:156-178) — requires per-target cycles from a coverage
+        range; unit_costs maps k -> cost."""
+        raise NotImplementedError(
+            "use coverage.mixed_template cost accounting (round-1 TODO)"
+        )

@@ -1,0 +1,77 @@
+"""Target distributions (reference src/slam/sampler.py), batched.
+
+Samplers return stacked numpy arrays of unitaries (B, d, d) — the batched
+optimizer consumes whole distributions at once instead of iterating
+(sampler.py:25-27 yields one at a time).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from slam_decomposition_tpu.models.gates import Gate
+
+
+def haar_sample(n_samples: int = 1, n_qubits: int = 2, seed: Optional[int] = None):
+    """Haar-random U(2^n) via QR of complex Ginibre (sampler.py:62-71)."""
+    rng = np.random.default_rng(seed)
+    d = 2**n_qubits
+    out = np.empty((n_samples, d, d), dtype=complex)
+    z = (rng.standard_normal((n_samples, d, d)) + 1j * rng.standard_normal((n_samples, d, d))) / np.sqrt(2)
+    for i in range(n_samples):
+        q, r = np.linalg.qr(z[i])
+        ph = np.diag(r) / np.abs(np.diag(r))
+        out[i] = q * ph
+    return out
+
+
+_H = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+_S = np.diag([1, 1j])
+_CNOT = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]])
+_I2 = np.eye(2)
+
+
+def _clifford_generators(n_qubits: int):
+    gens = []
+    if n_qubits == 1:
+        return [_H, _S]
+    if n_qubits == 2:
+        gens = [np.kron(_H, _I2), np.kron(_I2, _H), np.kron(_S, _I2), np.kron(_I2, _S), _CNOT]
+        return gens
+    raise NotImplementedError
+
+
+def clifford_sample(n_samples: int = 1, n_qubits: int = 2, seed: Optional[int] = None, word_length: int = 40):
+    """Random Clifford unitaries via long random generator words
+    (sampler.py:57-59 used qiskit's random_clifford; generator-word sampling
+    mixes to near-uniform on the 2Q Clifford group at this word length)."""
+    rng = np.random.default_rng(seed)
+    gens = _clifford_generators(n_qubits)
+    d = 2**n_qubits
+    out = np.empty((n_samples, d, d), dtype=complex)
+    for i in range(n_samples):
+        U = np.eye(d, dtype=complex)
+        for g in rng.integers(0, len(gens), size=word_length):
+            U = gens[g] @ U
+        out[i] = U
+    return out
+
+
+def gate_sample(gate: Gate, n_samples: int = 1):
+    """Repeat a fixed gate's unitary (sampler.py:33-39)."""
+    U = gate.to_numpy()
+    return np.broadcast_to(U, (n_samples, *U.shape)).copy()
+
+
+def circuit_sample(circuit):
+    """All consolidated 2Q block unitaries of a circuit (sampler.py:42-54).
+
+    ``circuit`` is a slam_decomposition_tpu.transpile.ir.Circuit; blocks are
+    collected+consolidated like Collect2qBlocks+ConsolidateBlocks.
+    """
+    from slam_decomposition_tpu.transpile.consolidate import consolidate_2q_blocks
+
+    blocks = consolidate_2q_blocks(circuit)
+    return np.stack([b.unitary for b in blocks])

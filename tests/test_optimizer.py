@@ -1,0 +1,108 @@
+"""End-to-end variational synthesis tests — the cross-checks the reference
+kept in notebooks (SURVEY.md §4) promoted to the real suite:
+
+  * CNOT basis solves Haar targets at k=3 (and SWAP needs exactly 3)
+  * sqiswap basis: k=2 insufficient for SWAP, k=3 suffices
+  * B basis covers Haar at k=2 (monodromy ground truth, BASELINE.md)
+  * parameterized (V2) conversion-gain templates converge under bounds
+"""
+
+import numpy as np
+import pytest
+
+from slam_decomposition_tpu.models import gates
+from slam_decomposition_tpu.models.templates import (
+    build_ansatz,
+    build_ansatz_v2,
+    cycle_gates,
+)
+from slam_decomposition_tpu.models import hamiltonians as ham
+from slam_decomposition_tpu.opt.optimizer import TemplateOptimizer
+from slam_decomposition_tpu.opt.samplers import haar_sample
+
+THRESH = 1e-10
+
+
+def _builder(gate):
+    return lambda k: build_ansatz(cycle_gates([gate], k))
+
+
+def test_cnot_basis_haar_k3():
+    opt = TemplateOptimizer(
+        _builder(gates.CNOT), spanning_range=[3], training_restarts=4,
+        override_fail=True, max_iters=250,
+    )
+    res = opt.approximate_from_distribution(haar_sample(8, seed=2))
+    assert res.success.all(), res.loss
+
+
+def test_cnot_swap_needs_exactly_3():
+    swap = gates.SWAP.to_numpy()[None]
+    opt2 = TemplateOptimizer(
+        _builder(gates.CNOT), spanning_range=[2], training_restarts=6,
+        override_fail=True, max_iters=300,
+    )
+    res2 = opt2.approximate_from_distribution(swap)
+    assert not res2.success.any(), "SWAP should NOT be reachable with 2 CNOTs"
+    opt3 = TemplateOptimizer(
+        _builder(gates.CNOT), spanning_range=[3], training_restarts=6,
+        override_fail=True, max_iters=300,
+    )
+    res3 = opt3.approximate_from_distribution(swap)
+    assert res3.success.all(), res3.loss
+
+
+def test_spanning_early_exit():
+    """CNOT itself should be solved at k=1, not k=3."""
+    opt = TemplateOptimizer(
+        _builder(gates.SQISWAP), spanning_range=[1, 2, 3],
+        training_restarts=4, override_fail=True, max_iters=300,
+    )
+    tgt = np.stack([gates.SQISWAP.to_numpy(), gates.ISWAP.to_numpy()])
+    res = opt.approximate_from_distribution(tgt)
+    assert res.success.all()
+    assert res.cycles[0] == 1
+    assert res.cycles[1] == 2
+
+
+def test_b_basis_haar_k2():
+    opt = TemplateOptimizer(
+        _builder(gates.berkeley()), spanning_range=[2], training_restarts=6,
+        override_fail=True, max_iters=300,
+    )
+    res = opt.approximate_from_distribution(haar_sample(6, seed=4))
+    assert res.success.all(), res.loss
+
+
+def test_v2_parameterized_gate():
+    """Optimize over 2Q gate parameters too: a single conversion-gain gate
+    with free (gc, gg) plus 1Q layers can hit CNOT at k=1."""
+
+    def cg_fn(q, dtype):
+        return ham.conversion_gain_u(q[0], q[1], t=1.0, dtype=dtype)
+
+    ansatz = build_ansatz_v2(
+        cg_fn, n_gate_params=2, k=1,
+        gate_bounds=(np.zeros(2), np.full(2, np.pi / 2)),
+    )
+    opt = TemplateOptimizer(
+        ansatz, training_restarts=8, override_fail=True, max_iters=300,
+    )
+    res = opt.approximate_target_U(gates.CNOT.to_numpy())
+    assert res.success.all(), res.loss
+
+
+def test_failure_raises_without_override():
+    opt = TemplateOptimizer(
+        _builder(gates.CNOT), spanning_range=[1], training_restarts=2,
+        max_iters=100,
+    )
+    with pytest.raises(ValueError, match="failed to converge"):
+        opt.approximate_from_distribution(gates.SWAP.to_numpy()[None])
+
+
+def test_vz_only_and_no_exterior_shapes():
+    a = build_ansatz(cycle_gates([gates.CNOT], 2), vz_only=True)
+    assert a.n_params == 3 * 2  # 3 layers x 2 qubits x 1 param
+    b = build_ansatz(cycle_gates([gates.CNOT], 3), no_exterior_1q=True)
+    assert b.n_params == 2 * 6  # interior layers only
