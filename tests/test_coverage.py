@@ -1,0 +1,93 @@
+"""Coverage-engine golden tests against the reference's published numbers
+(BASELINE.md): basis applications for full Weyl-chamber coverage, target
+ranges, Haar volumes, and cross-checks against the variational optimizer.
+"""
+
+import numpy as np
+import pytest
+
+from slam_decomposition_tpu.models import gates
+from slam_decomposition_tpu.coverage.coverage import (
+    gate_set_to_coverage,
+    monodromy_range_from_target,
+    gate_monodromy_reps,
+)
+from slam_decomposition_tpu.coverage.haar import expected_cost, normalized_volume
+from slam_decomposition_tpu.coverage.qlr import qlr_inequalities
+
+
+def _cov(gate):
+    return gate_set_to_coverage(gate, use_cache=False)
+
+
+@pytest.fixture(scope="module")
+def sqiswap_cov():
+    return _cov(gates.cg_sqiswap())
+
+
+def test_qlr_table_size():
+    assert len(qlr_inequalities()) == 72
+
+
+def test_sqiswap_layers_and_volumes(sqiswap_cov):
+    cov = sqiswap_cov
+    assert len(cov) == 4  # identity + k=1..3 (full coverage at 3)
+    assert abs(normalized_volume(cov[2].polytope) - 0.7901) < 5e-4
+    assert abs(normalized_volume(cov[3].polytope) - 1.0) < 1e-6
+    assert abs(expected_cost(cov) - 2.2099) < 1e-3
+
+
+def test_sqiswap_ranges(sqiswap_cov):
+    cov = sqiswap_cov
+    k_cnot, _ = monodromy_range_from_target(cov, gates.CNOT.to_numpy())
+    k_swap, _ = monodromy_range_from_target(cov, gates.SWAP.to_numpy())
+    k_b, _ = monodromy_range_from_target(cov, gates.berkeley().to_numpy())
+    k_id, _ = monodromy_range_from_target(cov, np.eye(4))
+    assert (k_cnot, k_swap, k_b, k_id) == (2, 3, 2, 0)
+
+
+@pytest.mark.parametrize(
+    "gate_fn,expected_k",
+    [
+        (gates.cg_iswap, 3),
+        (gates.cg_cnot, 3),
+        (gates.cg_b, 2),
+    ],
+    ids=["iswap", "cnot", "b"],
+)
+def test_full_coverage_counts(gate_fn, expected_k):
+    """Basis applications for full chamber coverage (BASELINE.md row 2)."""
+    cov = _cov(gate_fn())
+    assert len(cov) - 1 == expected_k
+    assert abs(normalized_volume(cov[-1].polytope) - 1.0) < 1e-6
+
+
+def test_monodromy_reps_match_reference_format():
+    """Reference stores sqiswap's k=1 reps as (1/4,0,0) and (1/2,1/4,-1/4)
+    (observed in its shipped coverage pickles)."""
+    from fractions import Fraction as F
+
+    reps = gate_monodromy_reps(gates.SQISWAP)
+    assert (F(1, 4), F(0), F(0)) in reps
+    assert (F(1, 2), F(1, 4), F(-1, 4)) in reps
+
+
+def test_optimizer_agrees_with_monodromy(sqiswap_cov):
+    """The three routes to k must agree: polytope range == variational k
+    (SURVEY.md §4 cross-check)."""
+    from slam_decomposition_tpu.models.templates import build_ansatz, cycle_gates
+    from slam_decomposition_tpu.opt.optimizer import TemplateOptimizer
+    from slam_decomposition_tpu.opt.samplers import haar_sample
+
+    targets = haar_sample(4, seed=11)
+    ks = [monodromy_range_from_target(sqiswap_cov, t)[0] for t in targets]
+    opt = TemplateOptimizer(
+        lambda k: build_ansatz(cycle_gates([gates.SQISWAP], k)),
+        spanning_range=[2, 3],
+        training_restarts=10,
+        override_fail=True,
+        max_iters=300,
+    )
+    res = opt.approximate_from_distribution(targets)
+    assert res.success.all()
+    np.testing.assert_array_equal(res.cycles, ks)
