@@ -1,0 +1,126 @@
+"""Scan-based synthesis solver: Adam warm start + Levenberg-Marquardt polish.
+
+The L-BFGS path (opt/minimize.py) is algorithmically faithful to the
+reference's scipy loop, but its nested while_loops compile poorly on TPU
+(minutes per shape via the remote compiler, and very long fused kernels).
+This module is the TPU-first alternative used by the benchmark and flagship
+path: fixed-iteration ``lax.scan`` everywhere, so XLA sees straight-line
+pipelined code.
+
+Phase 1 — Adam in f32 on the square cost: cheap global descent to ~1e-4.
+Phase 2 — Levenberg-Marquardt in f64 on the phase-aligned residual
+    r(x) = vec(V(x) - e^{i phi} U),  phi = arg tr(U^dag V(x)),
+    which has the same minimizer as the trace costs; J is 32 x n via jacfwd
+    and each step solves (J^T J + lam I) dx = -J^T r (n <= ~60). Quadratic
+    convergence: ~8 iterations from 1e-3 to <1e-14.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from slam_decomposition_tpu.ops import cplx
+
+
+def _phase_residual(eval_fn, x, tgt):
+    V = eval_fn(x)
+    tr = cplx.trace(cplx.matmul(cplx.dagger(tgt), V))
+    mag = jnp.sqrt(cplx.abs2(tr) + 1e-300)
+    c, s = tr[0] / mag, tr[1] / mag  # e^{i phi}
+    # r = V - e^{i phi} * tgt
+    tr_re = tgt[0] * c - tgt[1] * s
+    tr_im = tgt[0] * s + tgt[1] * c
+    r = jnp.concatenate(
+        [(V[0] - tr_re).reshape(-1), (V[1] - tr_im).reshape(-1)]
+    )
+    return r
+
+
+def make_solver(
+    eval_fn: Callable,
+    n_params: int,
+    adam_iters: int = 250,
+    lm_iters: int = 10,
+    adam_lr: float = 0.1,
+    lower=None,
+    upper=None,
+):
+    """Build solve(x0s, tgt_pair) -> (best_x (B,n), best_f (B,)) where x0s
+    is (B, R, n) and the target pair is ((B,4,4),(B,4,4)); jit/shard as
+    needed by the caller."""
+
+    def cost64(x, tgt):
+        V = eval_fn(x)
+        tr = cplx.trace(cplx.matmul(cplx.dagger(tgt), V))
+        d = V[0].shape[-1]
+        return 1.0 - (cplx.abs2(tr) + d) / (d * (d + 1.0))
+
+    def project(x):
+        if lower is None:
+            return x
+        return jnp.clip(x, lower, upper)
+
+    # ---------------- phase 1: Adam (f32)
+    def adam_one(x0, tgt32):
+        g_fn = jax.value_and_grad(lambda x: cost64(x, tgt32).astype(jnp.float32))
+
+        def step(carry, i):
+            x, m, v = carry
+            f, g = g_fn(x)
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * (g * g)
+            mhat = m / (1 - 0.9 ** (i + 1.0))
+            vhat = v / (1 - 0.999 ** (i + 1.0))
+            lr = adam_lr * (0.5 ** (i / (adam_iters / 3.0)))
+            x = project(x - lr * mhat / (jnp.sqrt(vhat) + 1e-8))
+            return (x, m, v), None
+
+        (x, _, _), _ = jax.lax.scan(
+            step,
+            (x0, jnp.zeros_like(x0), jnp.zeros_like(x0)),
+            jnp.arange(adam_iters, dtype=jnp.float32),
+        )
+        return x
+
+    # ---------------- phase 2: LM (f64)
+    def lm_one(x0, tgt):
+        r_fn = lambda x: _phase_residual(eval_fn, x, tgt)
+        J_fn = jax.jacfwd(r_fn)
+
+        def step(carry, _):
+            x, lam = carry
+            r = r_fn(x)
+            J = J_fn(x)
+            A = J.T @ J + lam * jnp.eye(n_params, dtype=x.dtype)
+            dx = jnp.linalg.solve(A, -(J.T @ r))
+            xn = project(x + dx)
+            fn, f0 = jnp.sum(r_fn(xn) ** 2), jnp.sum(r * r)
+            improved = fn < f0
+            lam = jnp.where(improved, lam * 0.3, lam * 8.0)
+            lam = jnp.clip(lam, 1e-14, 1e3)
+            x = jnp.where(improved, xn, x)
+            return (x, lam), None
+
+        (x, _), _ = jax.lax.scan(
+            step, (x0, jnp.asarray(1e-3, x0.dtype)), None, length=lm_iters
+        )
+        return x
+
+    def solve(x0s, tgt):
+        B, R, n = x0s.shape
+        tgt32 = (tgt[0].astype(jnp.float32), tgt[1].astype(jnp.float32))
+        xs32 = jax.vmap(
+            jax.vmap(adam_one, in_axes=(0, None)), in_axes=(0, 0)
+        )(x0s.astype(jnp.float32), tgt32)
+        xs = xs32.astype(x0s.dtype)
+        xs = jax.vmap(jax.vmap(lm_one, in_axes=(0, None)), in_axes=(0, 0))(xs, tgt)
+        fs = jax.vmap(jax.vmap(cost64, in_axes=(0, None)), in_axes=(0, 0))(xs, tgt)
+        best = jnp.argmin(fs, axis=1)
+        bx = jnp.take_along_axis(xs, best[:, None, None], axis=1).squeeze(1)
+        bf = jnp.take_along_axis(fs, best[:, None], axis=1).squeeze(1)
+        return bx, bf
+
+    return solve

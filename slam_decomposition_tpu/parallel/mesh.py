@@ -39,35 +39,22 @@ def make_mesh(n_devices: Optional[int] = None, rp: int = 1) -> Mesh:
 def sharded_solver(
     ansatz: Ansatz,
     mesh: Mesh,
-    objective="square",
-    max_iters: int = 200,
-    f_tol: float = 5e-11,
+    adam_iters: int = 250,
+    lm_iters: int = 10,
 ):
     """Build a jitted sharded solve: (x0s (B,R,n), tgt pair (B,4,4)) ->
     (best_x (B,n), best_f (B,)).
 
     Targets are sharded over 'dp'; restarts over 'rp'; outputs are
     dp-sharded (the argmin over restarts contracts the 'rp' axis, for which
-    XLA emits the cross-device gather over ICI).
+    XLA emits the cross-device gather over ICI). Uses the scan-based
+    Adam+LM solver (opt/gauss_newton.py) — the TPU-fast path.
     """
-    obj = cost_lib.COSTS[objective] if isinstance(objective, str) else objective
+    from slam_decomposition_tpu.opt.gauss_newton import make_solver
 
-    def solve_one(x0, tgt):
-        return lbfgs(
-            lambda x: obj(ansatz.eval_fn(x), tgt),
-            x0,
-            max_iters=max_iters,
-            f_tol=f_tol,
-            g_tol=1e-14,
-        )
-
-    def solve(x0s, tgt):
-        inner = jax.vmap(solve_one, in_axes=(0, None))
-        res = jax.vmap(inner, in_axes=(0, 0))(x0s, tgt)
-        best = jnp.argmin(res.f, axis=1)
-        bx = jnp.take_along_axis(res.x, best[:, None, None], axis=1).squeeze(1)
-        bf = jnp.take_along_axis(res.f, best[:, None], axis=1).squeeze(1)
-        return bx, bf
+    solve = make_solver(
+        ansatz.eval_fn, ansatz.n_params, adam_iters=adam_iters, lm_iters=lm_iters
+    )
 
     x_sharding = NamedSharding(mesh, P("dp", "rp", None))
     t_sharding = (
