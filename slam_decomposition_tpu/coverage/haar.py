@@ -114,6 +114,54 @@ def normalized_volume(p: Polytope) -> float:
     return polytope_volume(p) / _EVERYTHING_VOLUME
 
 
+_HAAR_COORD_CACHE = {}
+
+
+def haar_monodromy_samples(n: int = 200_000, seed: int = 0) -> np.ndarray:
+    """(n, 2, 3) reduced monodromy coordinates (both center images) of Haar
+    2Q unitaries — the exact measure, for Monte-Carlo volume estimation of
+    polytopes too facet-rich for exact quadrature (smush hulls)."""
+    key = (n, seed)
+    if key not in _HAAR_COORD_CACHE:
+        import jax
+
+        from slam_decomposition_tpu.opt.samplers import haar_sample
+        from slam_decomposition_tpu.ops import cplx, weyl
+
+        out = []
+        chunk = 20_000
+        with jax.default_device(jax.devices("cpu")[0]):
+            fn = jax.jit(weyl.monodromy_coords)
+            for s in range(0, n, chunk):
+                us = haar_sample(min(chunk, n - s), seed=seed + s)
+                out.append(np.asarray(fn(cplx.from_numpy(us)))[:, :, :3])
+        _HAAR_COORD_CACHE[key] = np.concatenate(out)
+    return _HAAR_COORD_CACHE[key]
+
+
+def mc_volume(polytope: Polytope, n: int = 200_000, seed: int = 0, tol=1e-9) -> float:
+    """Haar mass of a polytope by direct Haar Monte-Carlo: fraction of
+    samples with EITHER center image inside (float row evaluation)."""
+    samples = haar_monodromy_samples(n, seed)
+    member = np.zeros(len(samples), dtype=bool)
+    for cp in polytope.convex_subpolytopes:
+        rows = np.array(
+            [[float(c) for c in r] for r in cp.inequalities], dtype=float
+        )
+        eqs = np.array(
+            [[float(c) for c in r] for r in cp.equalities], dtype=float
+        )
+        for img in range(2):
+            pts = samples[:, img, :]
+            ok = np.ones(len(pts), dtype=bool)
+            for r in rows:
+                ok &= (r[0] + pts @ r[1:]) >= -tol
+            for r in eqs:
+                ok &= np.abs(r[0] + pts @ r[1:]) <= tol
+            member |= ok
+    return float(member.mean())
+
+
 def expected_cost(coverage: Sequence, chatty: bool = False) -> float:
     """Haar-expected synthesis cost of a coverage set: sum over layers of
     cost_k * (V_k - V_{k-1}) assuming nested layers (the construction is

@@ -1,0 +1,263 @@
+"""Parallel-drive ("smush") extended-coverage pipeline.
+
+Reference: parallel_drive_volume.py — for each named basis gate and layer
+count k, Monte-Carlo sample the parallel-driven template's reachable Weyl
+coordinates, extend the bare coverage polytope with the convex hulls of the
+cloud (both mirror sides), recompute Haar volumes, and check CNOT/SWAP/B
+membership (parallel_drive_volume.py:88-451).
+
+TPU redesign: all N samples evaluate as ONE vmapped batch of Trotterized
+smush products + batched c1c2c3 (the reference's per-sample qiskit loop was
+its hottest offline pipeline, :209-225). Hulls are float-Qhull facets
+rationalized outward (exact containment), replacing the lrs backend.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pickle
+from fractions import Fraction
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from slam_decomposition_tpu.config import config
+from slam_decomposition_tpu.models import gates as G
+
+logger = logging.getLogger(__name__)
+
+# gc, gg, t, name, full-coverage k (parallel_drive_volume.py:91-97)
+NAMED_GATES = {
+    "iSwap": (np.pi / 2, 0.0, 1.0, 3),
+    "sqiSwap": (np.pi / 2, 0.0, 0.5, 3),
+    "CNOT": (np.pi / 4, np.pi / 4, 1.0, 3),
+    "sqCNOT": (np.pi / 4, np.pi / 4, 0.5, 6),
+    "B": (3 * np.pi / 8, np.pi / 8, 1.0, 2),
+    "sqB": (3 * np.pi / 8, np.pi / 8, 0.5, 4),
+}
+
+DURATION_1Q = 0.25  # parallel_drive_volume.py:82
+
+
+def sample_smush_coords(
+    gc: float,
+    gg: float,
+    t: float,
+    k: int,
+    n_samples: int = 3000,
+    seed: int = 0,
+    drive_bound: float = 4 * np.pi,
+):
+    """Weyl coordinates of n_samples random parallel-driven k-cycle
+    circuits, evaluated as one device batch. Returns (n, 3) array."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_decomposition_tpu.models.hamiltonians import smush_u
+    from slam_decomposition_tpu.models.templates import _layer_1q
+    from slam_decomposition_tpu.ops import cplx, weyl
+
+    n_slices = max(int(round(t / DURATION_1Q)), 1)
+    # per cycle: phi_c, phi_g, gx[n_slices], gy[n_slices]; interior 1q
+    # layers between cycles (no exterior, parallel_drive_volume.py:192-198)
+    per_cycle = 2 + 2 * n_slices
+    n_1q = max(k - 1, 0) * 6
+    n_params = k * per_cycle + n_1q
+
+    def eval_one(x):
+        U = None
+        for i in range(k):
+            q = x[i * per_cycle : (i + 1) * per_cycle]
+            Gm = smush_u(
+                q[0], q[1], gc, gg,
+                q[2 : 2 + n_slices], q[2 + n_slices : 2 + 2 * n_slices], t=t,
+            )
+            if U is None:
+                U = Gm
+            else:
+                off = k * per_cycle + (i - 1) * 6
+                L = _layer_1q(x[off : off + 6], 2, False, x.dtype)
+                U = cplx.matmul(Gm, cplx.matmul(L, U))
+        return U
+
+    def coords_of(x):
+        return weyl.c1c2c3(eval_one(x))
+
+    key = jax.random.PRNGKey(seed)
+    xs = jax.random.uniform(
+        key, (n_samples, n_params), dtype=jnp.float64,
+        minval=-drive_bound, maxval=drive_bound,
+    )
+    return np.asarray(jax.jit(jax.vmap(coords_of))(xs))
+
+
+def rational_hull(points: np.ndarray):
+    """Exact-containment H-rep of the hull of a float point cloud:
+    Qhull facets, rationalized, offsets relaxed outward to cover every
+    point exactly. Replaces LRSBackend.convex_hull
+    (parallel_drive_volume.py:359)."""
+    from scipy.spatial import ConvexHull, QhullError
+
+    from slam_decomposition_tpu.coverage.polytope import ConvexPolytope
+
+    try:
+        hull = ConvexHull(points, qhull_options="QJ")
+    except QhullError:
+        return None
+    rows = []
+    for eq in hull.equations:  # a.x + b <= 0
+        a = eq[:3]
+        b = eq[3]
+        # -> (d, c1, c2, c3) with d + c.x >= 0: c = -a, d = -b
+        c = [Fraction(float(x)).limit_denominator(10_000) for x in -a]
+        d = Fraction(float(-b)).limit_denominator(10_000)
+        # relax outward so every sample satisfies the rational row
+        vals = [
+            d + sum(ci * Fraction(float(p)).limit_denominator(10_000) for ci, p in zip(c, pt))
+            for pt in points[hull.vertices]
+        ]
+        worst = min(vals)
+        if worst < 0:
+            d = d - worst
+        rows.append((d, *c))
+    return ConvexPolytope.make(ineqs=rows, name="smush-hull")
+
+
+def extend_coverage(
+    name: str,
+    n_samples: int = 3000,
+    seed: int = 7,
+    save: bool = True,
+) -> Dict[str, list]:
+    """Full pipeline for one named gate; returns the per-k results dict
+    [base_vol, extended_vol, cnot, swap, b] and saves the smush coverage
+    pickle + summary (parallel_drive_volume.py:148-451)."""
+    from slam_decomposition_tpu.coverage.coverage import (
+        CircuitPolytope,
+        IDENTITY_POLYTOPE,
+        gate_monodromy_reps,
+        gate_set_to_coverage,
+    )
+    from slam_decomposition_tpu.coverage.haar import normalized_volume
+    from slam_decomposition_tpu.coverage.polytope import Polytope
+    from slam_decomposition_tpu.ops import weyl
+
+    gc, gg, t, iters = NAMED_GATES[name]
+    base_gate = G.cg_canonicalize(G.conversion_gain_gate(0, 0, gc, gg, t))
+    bare_cov = gate_set_to_coverage(base_gate, max_layers=iters)
+
+    coverage = [CircuitPolytope(operations=[], cost=0.0, polytope=IDENTITY_POLYTOPE)]
+    results: Dict[str, list] = {}
+    cnot_reps = gate_monodromy_reps(G.CNOT)
+    swap_reps = gate_monodromy_reps(G.SWAP)
+    b_reps = gate_monodromy_reps(G.berkeley())
+    running_vol = 0.0
+    haar_score = 0.0
+    cnot_score: Optional[int] = None
+    swap_score: Optional[int] = None
+    cloud: List[np.ndarray] = []  # coordinate stacking across k
+    # (parallel_drive_volume.py:106-108 keeps the list growing)
+
+    for k in range(1, iters + 1):
+        if k == iters:
+            cp = bare_cov[-1]
+            extended = CircuitPolytope(
+                operations=[name] * k, cost=float(k) * base_gate.cost(),
+                polytope=cp.polytope,
+            )
+            base_vol = ext_vol = 1.0
+        else:
+            cloud.append(sample_smush_coords(gc, gg, t, k, n_samples, seed + k))
+            coords = np.concatenate(cloud)
+            # mirror both sides (parallel_drive_volume.py:296-307)
+            left = coords.copy()
+            left[:, 0] = np.minimum(coords[:, 0], 1 - coords[:, 0])
+            right = coords.copy()
+            right[:, 0] = np.maximum(coords[:, 0], 1 - coords[:, 0])
+            subs = list(bare_cov[k].polytope.convex_subpolytopes) if k < len(bare_cov) else []
+            for side in (left, right):
+                # chamber units -> monodromy alcove; first three coords
+                mc = np.asarray(weyl.positive_canonical_to_monodromy(side))
+                hull = rational_hull(mc[:, :3])
+                if hull is not None:
+                    subs.append(hull)
+            poly = Polytope(subs)
+            from slam_decomposition_tpu.coverage.haar import mc_volume
+
+            base_vol = normalized_volume(bare_cov[k].polytope) if k < len(bare_cov) else 0.0
+            ext_vol = mc_volume(poly)
+            extended = CircuitPolytope(
+                operations=[name] * k, cost=float(k) * base_gate.cost(), polytope=poly
+            )
+        unique = max(ext_vol - running_vol, 0.0)
+        haar_score += k * unique
+        running_vol += unique
+        tol = Fraction(1, 10**6)
+        cnot_b = extended.contains(cnot_reps, tol)
+        swap_b = extended.contains(swap_reps, tol)
+        b_b = extended.contains(b_reps, tol)
+        if cnot_score is None and cnot_b:
+            cnot_score = k
+        if swap_score is None and swap_b:
+            swap_score = k
+        coverage.append(extended)
+        results[str(k)] = [base_vol, ext_vol, bool(cnot_b), bool(swap_b), bool(b_b)]
+        logger.info("%s k=%d: base %.4f extended %.4f", name, k, base_vol, ext_vol)
+
+    if save:
+        path = config.cache_path(
+            f"polytope_coverage_['{G.cg_hash(*base_gate.params[2:])}']smush.pkl"
+        )
+        with open(path, "wb") as f:
+            # gates serialize as their params (matrix closures don't pickle;
+            # loaders reconstruct via conversion_gain_gate(*params))
+            pickle.dump(
+                (
+                    coverage,
+                    {str(base_gate): tuple(base_gate.params)},
+                    [haar_score, cnot_score, swap_score],
+                ),
+                f,
+            )
+        summary = config.cache_path("extended_results.json")
+        try:
+            existing = json.loads(summary.read_text())
+        except (OSError, json.JSONDecodeError):
+            existing = {}
+        existing[name] = results
+        summary.write_text(json.dumps(existing, indent=1))
+    return results
+
+
+def load_smush_coverage(gate: Gate):
+    """Load the extended (parallel-drive) coverage set for a canonicalized
+    conversion-gain gate; raises if the pipeline hasn't produced it
+    (basis.py:284-294 semantics)."""
+    path = config.cache_path(
+        f"polytope_coverage_['{G.cg_hash(*gate.params[2:])}']smush.pkl"
+    )
+    try:
+        with open(path, "rb") as f:
+            coverage, _, _ = pickle.load(f)
+        return coverage
+    except OSError as e:
+        raise ValueError(
+            f"Smush polytope not in memory for {gate}; run "
+            "explore.smush_volume.extend_coverage first"
+        ) from e
+
+
+def smush_scores(params) -> Optional[Tuple[float, int, int]]:
+    """Load [haar, cnot, swap] scores for a smush-extended gate if its
+    pipeline output exists (winner_selection.py:57-67 analog)."""
+    base = G.cg_canonicalize(G.conversion_gain_gate(*params))
+    path = config.cache_path(
+        f"polytope_coverage_['{G.cg_hash(*base.params[2:])}']smush.pkl"
+    )
+    try:
+        with open(path, "rb") as f:
+            _, _, scores = pickle.load(f)
+        return tuple(scores)
+    except (OSError, EOFError, pickle.PickleError):
+        return None

@@ -1,0 +1,101 @@
+"""Winner selection: pick the best basis gate from the candidate DB under a
+metric. Reference: winner_selection.py:17-144 (pick_winner).
+
+Metrics: 0 = E[Haar], 1 = D[CNOT], 2 = D[SWAP], (-1, lambda) = weighted
+CNOT/SWAP mix, or exact per-target-distribution cost via monodromy ranges.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from slam_decomposition_tpu.explore.candidates import (
+    get_method_duration,
+    load_candidates,
+)
+from slam_decomposition_tpu.explore.scaling import atomic_cost_scaling
+from slam_decomposition_tpu.models import gates as G
+from slam_decomposition_tpu.models.gates import Gate
+
+logger = logging.getLogger(__name__)
+
+
+def pick_winner(
+    group_name: str,
+    metric=0,
+    target_ops: Optional[Sequence[np.ndarray]] = None,
+    smush: bool = False,
+    family_extension: bool = False,
+) -> Tuple[Gate, Gate]:
+    """Returns (winner_gate, winner_scaled_gate)."""
+    speed_method, duration_1q = get_method_duration(group_name)
+    candidates = load_candidates()
+    winner = None
+    winner_score = None
+    winner_scaled = None
+
+    for params, scores in candidates:
+        if smush:
+            from slam_decomposition_tpu.explore.smush_volume import smush_scores
+
+            s = smush_scores(params)
+            if s is None:
+                continue
+            scores = np.array(list(s) + [-1, -1])
+        candidate_score = None
+        if target_ops is None and metric in (0, 1, 2):
+            scaled_gate, scaled = atomic_cost_scaling(
+                params, scores[metric], speed_method=speed_method,
+                duration_1q=duration_1q, family_extension=family_extension,
+                use_smush=smush, metric=metric,
+            )
+            candidate_score = float(np.atleast_1d(scaled)[0])
+        elif target_ops is None and isinstance(metric, tuple) and metric[0] == -1:
+            lam = metric[1]
+            mix = lam * scores[1] + (1 - lam) * scores[2]
+            scaled_gate, scaled = atomic_cost_scaling(
+                params, mix, speed_method=speed_method,
+                duration_1q=duration_1q, family_extension=family_extension,
+                use_smush=smush, metric=metric,
+            )
+            candidate_score = float(np.atleast_1d(scaled)[0])
+        else:
+            # exact distribution cost: sum monodromy ranges over targets
+            from slam_decomposition_tpu.coverage.coverage import (
+                gate_set_to_coverage,
+                monodromy_range_from_target,
+            )
+
+            base = G.conversion_gain_gate(*params)
+            try:
+                cov = gate_set_to_coverage(G.cg_canonicalize(base), smush=smush)
+            except (ValueError, RuntimeError):
+                continue
+            total = 0.0
+            scaled_gate = None
+            for tgt in target_ops:
+                k, _ = monodromy_range_from_target(cov, tgt)
+                scaled_gate, scaled = atomic_cost_scaling(
+                    params, k, speed_method=speed_method,
+                    duration_1q=duration_1q, scaled_gate=scaled_gate,
+                    family_extension=family_extension, use_smush=smush,
+                    metric=metric,
+                )
+                total += float(np.atleast_1d(scaled)[0])
+            candidate_score = total
+
+        if candidate_score is None:
+            continue
+        if winner_score is None or candidate_score < winner_score:
+            winner = params
+            winner_score = candidate_score
+            winner_scaled = scaled_gate
+
+    if winner is None:
+        raise ValueError("no scorable candidates in DB (run collect_data)")
+    winner_gate = G.conversion_gain_gate(*winner)
+    logger.info("winner %s score %.4f", winner_gate, winner_score)
+    return winner_gate, winner_scaled

@@ -86,6 +86,27 @@ def make_solver(
         return x
 
     # ---------------- phase 2: LM (f64)
+    def _spd_solve(A, b):
+        """Conjugate gradient for the (regularized, SPD) normal equations —
+        TPU's LU lowering supports only f32/c64, so jnp.linalg.solve is
+        unavailable in f64; CG is exact in <= n steps and all-matvec."""
+        n = b.shape[-1]
+
+        def body(_, carry):
+            x, r, p, rs = carry
+            Ap = A @ p
+            alpha = rs / jnp.maximum(p @ Ap, 1e-300)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = r @ r
+            p = r + (rs_new / jnp.maximum(rs, 1e-300)) * p
+            return (x, r, p, rs_new)
+
+        x0 = jnp.zeros_like(b)
+        carry = (x0, b, b, b @ b)
+        x, _, _, _ = jax.lax.fori_loop(0, n + 8, body, carry)
+        return x
+
     def lm_one(x0, tgt):
         r_fn = lambda x: _phase_residual(eval_fn, x, tgt)
         J_fn = jax.jacfwd(r_fn)
@@ -95,7 +116,7 @@ def make_solver(
             r = r_fn(x)
             J = J_fn(x)
             A = J.T @ J + lam * jnp.eye(n_params, dtype=x.dtype)
-            dx = jnp.linalg.solve(A, -(J.T @ r))
+            dx = _spd_solve(A, -(J.T @ r))
             xn = project(x + dx)
             fn, f0 = jnp.sum(r_fn(xn) ** 2), jnp.sum(r * r)
             improved = fn < f0
