@@ -65,6 +65,29 @@ def gate_sample(gate: Gate, n_samples: int = 1):
     return np.broadcast_to(U, (n_samples, *U.shape)).copy()
 
 
+def haar_exact_sample(
+    n_uses: int, n_samples: int = 1, seed: Optional[int] = None, max_tries: int = 10_000
+):
+    """Haar samples known a priori to need exactly ``n_uses`` sqiswap
+    applications — ground-truthed by the analytic synthesis count
+    (Haar2Sample/Haar3Sample, sampler.py:73-107; the reference counted
+    riswap ops after RootiSwapWeylDecomposition)."""
+    from slam_decomposition_tpu.transpile.kak import sqiswap_decompose
+
+    rng = np.random.default_rng(seed)
+    out = []
+    tries = 0
+    while len(out) < n_samples and tries < max_tries:
+        tries += 1
+        U = haar_sample(1, seed=int(rng.integers(0, 2**31)))[0]
+        _, n = sqiswap_decompose(U)
+        if n == n_uses:
+            out.append(U)
+    if len(out) < n_samples:
+        raise RuntimeError(f"could not draw {n_samples} exact-{n_uses} samples")
+    return np.stack(out)
+
+
 def circuit_sample(circuit):
     """All consolidated 2Q block unitaries of a circuit (sampler.py:42-54).
 

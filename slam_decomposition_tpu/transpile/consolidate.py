@@ -21,6 +21,7 @@ from slam_decomposition_tpu.transpile.ir import Circuit, Op, embed
 class Block:
     qubits: Tuple[int, int]
     ops: List[Op]
+    positions: List[int] = dataclasses.field(default_factory=list)
 
     @property
     def unitary(self) -> np.ndarray:
@@ -57,6 +58,7 @@ def collect_2q_blocks(circ: Circuit) -> Tuple[List[Block], List[Tuple[int, Op]]]
             b = qubit_block.get(q)
             if b is not None:
                 b.ops.append(op)
+                b.positions.append(pos)
             else:
                 pending_1q.setdefault(q, []).append((pos, op))
         elif op.n_qubits == 2:
@@ -65,15 +67,21 @@ def collect_2q_blocks(circ: Circuit) -> Tuple[List[Block], List[Tuple[int, Op]]]
             b2 = qubit_block.get(op.qubits[1])
             if b is not None and b is b2 and tuple(sorted(b.qubits)) == pair:
                 b.ops.append(op)
+                b.positions.append(pos)
             else:
-                for bb in {b, b2} - {None}:
-                    close(bb)
+                closed_ids = set()
+                for bb in (b, b2):
+                    if bb is not None and id(bb) not in closed_ids:
+                        closed_ids.add(id(bb))
+                        close(bb)
                 nb = Block(qubits=pair, ops=[])
                 # absorb pending 1q ops on these qubits
                 for q in pair:
-                    for _, p1 in pending_1q.pop(q, []):
+                    for p0, p1 in pending_1q.pop(q, []):
                         nb.ops.append(p1)
+                        nb.positions.append(p0)
                 nb.ops.append(op)
+                nb.positions.append(pos)
                 qubit_block[pair[0]] = nb
                 qubit_block[pair[1]] = nb
         else:
@@ -99,11 +107,17 @@ def consolidate_2q_blocks(circ: Circuit) -> List[Block]:
 
 def consolidated_circuit(circ: Circuit) -> Circuit:
     """Rebuild the circuit with each block as a single 'unitary2q' op,
-    preserving leftover 1Q ops."""
+    emitted at the position of the block's last op (ops on other qubits
+    commute past the block, so the replay order is equivalent)."""
     blocks, leftovers = collect_2q_blocks(circ)
-    out = Circuit(circ.n_qubits)
-    for _, op in leftovers:
-        out.append(op)
+    events = [(pos, op, None) for pos, op in leftovers]
     for b in blocks:
-        out.unitary(b.unitary, b.qubits, name="unitary2q")
+        events.append((max(b.positions), None, b))
+    events.sort(key=lambda e: e[0])
+    out = Circuit(circ.n_qubits)
+    for _, op, b in events:
+        if b is not None:
+            out.unitary(b.unitary, b.qubits, name="unitary2q")
+        else:
+            out.append(op)
     return out

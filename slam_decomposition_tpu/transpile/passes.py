@@ -65,11 +65,16 @@ def _blocks_to_circuit(circ: Circuit, substitutions: Dict[int, Circuit]) -> Circ
     from slam_decomposition_tpu.transpile.consolidate import collect_2q_blocks
 
     blocks, leftovers = collect_2q_blocks(circ)
-    out = Circuit(circ.n_qubits)
-    for _, op in leftovers:
-        out.append(op)
+    events = [(pos, op, None) for pos, op in leftovers]
     for i, b in enumerate(blocks):
-        sub = substitutions.get(i)
+        events.append((max(b.positions), i, b))
+    events.sort(key=lambda e: e[0])
+    out = Circuit(circ.n_qubits)
+    for _, tag, b in events:
+        if b is None:
+            out.append(tag)
+            continue
+        sub = substitutions.get(tag)
         if sub is None:
             out.unitary(b.unitary, b.qubits, name="unitary2q")
             continue
