@@ -16,8 +16,10 @@ numbers are carried as (real, imag) pairs so the same code runs in float32
 and float64 on TPU (complex128 is unsupported on TPU hardware).
 """
 
-from slam_decomposition_tpu.config import config, setup_x64
+from slam_decomposition_tpu import config as _config_module
+from slam_decomposition_tpu.config import setup_x64
 
 setup_x64()
+settings = _config_module.config  # the Config instance (module stays importable)
 
 __version__ = "0.1.0"

@@ -64,9 +64,18 @@ def lp_max(
     """Maximize c.x subject to d + A.x >= 0 rows (and equality rows).
 
     Returns (status, value) with status in {"optimal", "unbounded",
-    "infeasible"}. Big-M-free two-phase simplex in exact rationals over the
-    standard-form tableau. Sizes here are tiny (<=9 vars, <=100 rows).
+    "infeasible"}. Tries the native C++ exact simplex first
+    (native/polytope_core.cpp); falls back to the pure-Fractions two-phase
+    simplex below on overflow or missing toolchain.
     """
+    try:
+        from slam_decomposition_tpu.native import lp_max_native
+
+        res = lp_max_native(list(objective), list(ineqs), list(eqs))
+        if res is not None:
+            return res
+    except Exception:
+        pass
     n = len(objective)
     # convert: d + a.x >= 0  ->  -a.x <= d ; equality -> two ineqs
     A: List[List[Fraction]] = []
@@ -257,11 +266,30 @@ class ConvexPolytope:
         """Remove redundant inequalities and promote implied equalities
         (critical: downstream Fourier-Motzkin substitutes equalities instead
         of blowing up); None if empty. Exact LP per row."""
-        if self.is_empty():
-            return None
         # dedupe, drop trivial rows
         ineqs = [r for r in dict.fromkeys(self.inequalities) if any(c != 0 for c in r[1:])]
         eqs = [r for r in dict.fromkeys(self.equalities) if any(c != 0 for c in r[1:])]
+        # native one-shot reduce (C++ exact simplex) with Python fallback
+        try:
+            from slam_decomposition_tpu.native import reduce_native
+
+            n = (len(ineqs[0]) - 1) if ineqs else (len(eqs[0]) - 1 if eqs else 0)
+            res = reduce_native(ineqs, eqs, n) if n else None
+            if res is not None:
+                keep, eqf, empty = res
+                if empty:
+                    return None
+                new_eqs = eqs + [r for r, f in zip(ineqs, eqf) if f]
+                kept = [r for r, k in zip(ineqs, keep) if k]
+                return ConvexPolytope(
+                    inequalities=kept,
+                    equalities=list(dict.fromkeys(new_eqs)),
+                    name=self.name,
+                )
+        except Exception:
+            pass
+        if self.is_empty():
+            return None
         # pass 1: implied equalities — row d + a.x >= 0 is an equality iff
         # max (d + a.x) over the polytope is 0
         still: List[Row] = []

@@ -118,8 +118,9 @@ def rational_hull(points: np.ndarray):
             for pt in points[hull.vertices]
         ]
         worst = min(vals)
-        if worst < 0:
-            d = d - worst
+        # relax outward past the worst vertex plus a small margin so any
+        # nearby rationalization of a cloud point stays inside
+        d = d - min(worst, Fraction(0)) + Fraction(1, 10**5)
         rows.append((d, *c))
     return ConvexPolytope.make(ineqs=rows, name="smush-hull")
 

@@ -255,3 +255,33 @@ def build_ansatz_v2(
 def cycle_gates(base_gates: Sequence[Gate], k: int) -> List[Gate]:
     """The reference's itertools.cycle over base gates (basis.py:69-73)."""
     return [base_gates[i % len(base_gates)] for i in range(k)]
+
+
+def hamiltonian_ansatz(
+    u_fn: Callable[..., cplx.CMat],
+    n_params: int,
+    lower=None,
+    upper=None,
+    n_qubits: int = 2,
+) -> Ansatz:
+    """Optimize directly over Hamiltonian parameters: eval(x) = U(x[0], ...,
+    x[n-1]). HamiltonianTemplate (reference basis.py:24-48) — e.g. pass
+    models.hamiltonians.circulator_u with n_params=7 to search 3Q gates.
+    """
+    import numpy as _np
+
+    lower = _np.zeros(n_params) if lower is None else _np.asarray(lower)
+    upper = _np.ones(n_params) if upper is None else _np.asarray(upper)
+
+    def eval_fn(x):
+        return u_fn(*[x[i] for i in range(n_params)])
+
+    return Ansatz(
+        n_qubits=n_qubits,
+        k=1,
+        n_params=n_params,
+        n_params_1q=0,
+        eval_fn=eval_fn,
+        lower=lower,
+        upper=upper,
+    )

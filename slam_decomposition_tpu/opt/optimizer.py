@@ -220,10 +220,13 @@ class TemplateOptimizer:
 
     # ------------------------------------------------------------------
 
-    def cost_from_distribution(self, targets, unit_costs: Dict[int, float]):
+    def cost_from_distribution(self, targets, mixed_template=None):
         """Total polytope cost over a distribution without fitting 1Q params
-        (optimizer.py:156-178) — requires per-target cycles from a coverage
-        range; unit_costs maps k -> cost."""
-        raise NotImplementedError(
-            "use coverage.mixed_template cost accounting (round-1 TODO)"
-        )
+        (optimizer.py:156-178). Requires a coverage-backed template
+        (coverage.mixed.MixedOrderBasisTemplate)."""
+        if mixed_template is None:
+            raise ValueError(
+                "pass a MixedOrderBasisTemplate (reference raises for "
+                "non-MixedOrderBasis templates too, optimizer.py:171-172)"
+            )
+        return mixed_template.cost_from_distribution(targets)
