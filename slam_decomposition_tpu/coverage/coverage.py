@@ -64,20 +64,70 @@ class CircuitPolytope:
         """reps: iterable of coordinate representatives (3-vectors)."""
         return any(self.polytope.contains(r, tol) for r in reps)
 
+    def contains_float(self, reps: np.ndarray, tol: float = 1e-8) -> bool:
+        """Fast float membership over cached row arrays (the hot path of
+        per-block transpilation lookups; exact Fractions remain available
+        via .contains for boundary-critical queries)."""
+        rows = getattr(self, "_float_rows", None)
+        if rows is None:
+            rows = []
+            for cp in self.polytope.convex_subpolytopes:
+                ineq = np.array(
+                    [[float(c) for c in r] for r in cp.inequalities], dtype=float
+                ).reshape(-1, 4)
+                nrm = np.maximum(
+                    np.sqrt((ineq[:, 1:] ** 2).sum(axis=1)), 1e-30
+                ) if len(ineq) else np.ones(0)
+                ineq = ineq / nrm[:, None] if len(ineq) else ineq
+                eq = np.array(
+                    [[float(c) for c in r] for r in cp.equalities], dtype=float
+                ).reshape(-1, 4)
+                nrm = np.maximum(
+                    np.sqrt((eq[:, 1:] ** 2).sum(axis=1)), 1e-30
+                ) if len(eq) else np.ones(0)
+                eq = eq / nrm[:, None] if len(eq) else eq
+                rows.append((ineq, eq))
+            object.__setattr__(self, "_float_rows", rows)
+        reps = np.atleast_2d(np.asarray(reps, dtype=float))
+        for ineq, eq in rows:
+            for p in reps:
+                if len(ineq) and (ineq[:, 0] + ineq[:, 1:] @ p < -tol).any():
+                    continue
+                if len(eq) and (np.abs(eq[:, 0] + eq[:, 1:] @ p) > tol).any():
+                    continue
+                return True
+        return False
 
-def gate_monodromy_reps(gate_or_matrix) -> List[Tuple[Fraction, ...]]:
-    """Both PU(4) representatives of a gate's monodromy coordinate, as exact
-    fractions (limit_denominator like polytope_wrap.py:155-158)."""
+
+_MONODROMY_JIT = None
+
+
+def monodromy_reps_float(matrices: np.ndarray) -> np.ndarray:
+    """Batched (n, 2, 4) monodromy representatives — one jitted CPU call."""
+    global _MONODROMY_JIT
     import jax
 
     from slam_decomposition_tpu.ops import cplx, weyl
 
+    if _MONODROMY_JIT is None:
+        _MONODROMY_JIT = jax.jit(weyl.monodromy_coords)
+    arr = np.asarray(matrices)
+    single = arr.ndim == 2
+    if single:
+        arr = arr[None]
+    with jax.default_device(jax.devices("cpu")[0]):
+        reps = np.asarray(_MONODROMY_JIT(cplx.from_numpy(arr)))
+    return reps[0] if single else reps
+
+
+def gate_monodromy_reps(gate_or_matrix) -> List[Tuple[Fraction, ...]]:
+    """Both PU(4) representatives of a gate's monodromy coordinate, as exact
+    fractions (limit_denominator like polytope_wrap.py:155-158)."""
     if isinstance(gate_or_matrix, Gate):
         U = gate_or_matrix.to_numpy()
     else:
         U = np.asarray(gate_or_matrix)
-    with jax.default_device(jax.devices("cpu")[0]):
-        reps = np.asarray(weyl.monodromy_coords(cplx.from_numpy(U)))
+    reps = monodromy_reps_float(U)
     out = []
     seen = set()
     for rep in reps:
@@ -222,12 +272,36 @@ def monodromy_range_from_target(
     """Smallest-cost coverage polytope containing the target; returns
     (k = number of operations, polytope). Reference: polytope_wrap.py:39-94.
     """
-    reps = gate_monodromy_reps(target_u)
-    if any(all(x == 0 for x in r) for r in reps):
+    reps = monodromy_reps_float(np.asarray(target_u))[:, :3]
+    if (np.abs(reps) < 1e-9).all(axis=1).any():
         return 0, coverage[0]
     for cp in sorted(coverage, key=lambda c: c.cost):
         if cp.cost == 0:
             continue
-        if cp.contains(reps):
+        if cp.contains_float(reps):
             return len(cp.operations), cp
     raise ValueError("no coverage polytope contains the target")
+
+
+def monodromy_ranges_batch(
+    coverage: Sequence[CircuitPolytope], targets: np.ndarray
+) -> List[Tuple[int, CircuitPolytope]]:
+    """Batched ranges: ONE device call for all target coordinates, float
+    membership per layer (the reference looped per DAG node,
+    speed_limit_pass.py:176)."""
+    reps = monodromy_reps_float(np.asarray(targets))[:, :, :3]
+    layers = sorted(
+        [c for c in coverage if c.cost > 0], key=lambda c: c.cost
+    )
+    out = []
+    for i in range(len(reps)):
+        if (np.abs(reps[i]) < 1e-9).all(axis=1).any():
+            out.append((0, coverage[0]))
+            continue
+        for cp in layers:
+            if cp.contains_float(reps[i]):
+                out.append((len(cp.operations), cp))
+                break
+        else:
+            raise ValueError("no coverage polytope contains target")
+    return out

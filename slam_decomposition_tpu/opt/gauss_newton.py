@@ -136,8 +136,21 @@ def make_solver(
         xs32 = jax.vmap(
             jax.vmap(adam_one, in_axes=(0, None)), in_axes=(0, 0)
         )(x0s.astype(jnp.float32), tgt32)
-        xs = xs32.astype(x0s.dtype)
-        xs = jax.vmap(jax.vmap(lm_one, in_axes=(0, None)), in_axes=(0, 0))(xs, tgt)
+        xs = xs32.astype(x0s.dtype).reshape(B * R, n)
+        # LM phase holds jacfwd tangent intermediates (~2 MB/lane in f64):
+        # bound live memory by mapping fixed-size lane chunks while keeping
+        # one compiled program for any B
+        tgt_flat = (
+            jnp.repeat(tgt[0], R, axis=0),
+            jnp.repeat(tgt[1], R, axis=0),
+        )
+        def lm_lane(args):
+            x, tr, ti = args
+            return lm_one(x, (tr, ti))
+
+        xs = jax.lax.map(
+            lm_lane, (xs, tgt_flat[0], tgt_flat[1]), batch_size=1024
+        ).reshape(B, R, n)
         fs = jax.vmap(jax.vmap(cost64, in_axes=(0, None)), in_axes=(0, 0))(xs, tgt)
         best = jnp.argmin(fs, axis=1)
         bx = jnp.take_along_axis(xs, best[:, None, None], axis=1).squeeze(1)

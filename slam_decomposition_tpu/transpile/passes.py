@@ -27,6 +27,27 @@ from slam_decomposition_tpu.transpile.ir import Circuit, unroll_3q_or_more
 
 logger = logging.getLogger(__name__)
 
+_TEMPLATE_CACHE: Dict[str, MixedOrderBasisTemplate] = {}
+_C1C2C3_JIT = None
+
+
+def _c1c2c3_batch(us: np.ndarray) -> np.ndarray:
+    global _C1C2C3_JIT
+    import jax
+
+    from slam_decomposition_tpu.ops import cplx, weyl
+
+    if _C1C2C3_JIT is None:
+        _C1C2C3_JIT = jax.jit(weyl.c1c2c3)
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(_C1C2C3_JIT(cplx.from_numpy(np.asarray(us))))
+
+
+def _cached_template(key: str, factory):
+    if key not in _TEMPLATE_CACHE:
+        _TEMPLATE_CACHE[key] = factory()
+    return _TEMPLATE_CACHE[key]
+
 
 # ----------------------------------------------------------------- analysis
 
@@ -196,10 +217,7 @@ def optimized_sqiswap_sub(
     blocks with a time-scaled parallel-driven iSwap, SWAP with iSwap_pd +
     sqiswap, general blocks via the extended (smush) coverage lookup.
     Coordinates for all blocks come from one batched c1c2c3 call."""
-    import jax
-
     from slam_decomposition_tpu.explore.scaling import scaled_gate_for
-    from slam_decomposition_tpu.ops import cplx, weyl
 
     circ = unroll_3q_or_more(circ)
     blocks = consolidate_2q_blocks(circ)
@@ -210,12 +228,11 @@ def optimized_sqiswap_sub(
     iswap = G.cg_iswap()
     sqiswap = G.conversion_gain_gate(0, 0, np.pi / 2, 0, 0.5)
     scaled_iswap = scaled_gate_for(iswap.params, speed_method)
-    edge_iswap_t = MixedOrderBasisTemplate([iswap], smush=True)
-    sq_t = MixedOrderBasisTemplate([sqiswap], smush=True)
+    edge_iswap_t = _cached_template("iswap_smush", lambda: MixedOrderBasisTemplate([iswap], smush=True))
+    sq_t = _cached_template("sqiswap_smush", lambda: MixedOrderBasisTemplate([sqiswap], smush=True))
 
     us = np.stack([b.unitary for b in blocks])
-    with jax.default_device(jax.devices("cpu")[0]):
-        coords = np.asarray(weyl.c1c2c3(cplx.from_numpy(us)))
+    coords = _c1c2c3_batch(us)
 
     def scaled_fraction(frac: float) -> G.Gate:
         g = G.conversion_gain_gate(
