@@ -112,6 +112,36 @@ def _random_1q_layer(sub: Circuit, rng, duration_1q):
         )
 
 
+def optimize_1q_gates(circ: Circuit) -> Circuit:
+    """Merge consecutive 1Q ops on the same qubit into one op (the
+    Optimize1qGates role, speed_limit_pass.py:492/526/549 — without it the
+    substitution passes double-count 1Q layer durations). Matrices multiply
+    when available; parameter placeholders merge by replacement."""
+    out = Circuit(circ.n_qubits)
+    last_1q: Dict[int, int] = {}  # qubit -> index in out.ops
+    for op in circ.ops:
+        if op.n_qubits == 1:
+            q = op.qubits[0]
+            prev = last_1q.get(q)
+            if prev is not None:
+                pop = out.ops[prev]
+                try:
+                    m = op.to_matrix() @ pop.to_matrix()
+                    out.ops[prev] = dataclasses.replace(
+                        pop, name="u1q", params=(), matrix=m
+                    )
+                except KeyError:
+                    out.ops[prev] = op
+                continue
+            out.append(op)
+            last_1q[q] = len(out.ops) - 1
+        else:
+            for q in op.qubits:
+                last_1q.pop(q, None)
+            out.append(op)
+    return out
+
+
 # ---------------------------------------------------- winner substitution
 
 
@@ -314,7 +344,7 @@ def pass_manager_basic(
             subs[i] = cx_decompose_to_circuit(b.unitary, duration_1q)
         else:
             raise ValueError(gate)
-    out = _blocks_to_circuit(circ, subs)
+    out = optimize_1q_gates(_blocks_to_circuit(circ, subs))
     return out, duration_analysis(out, duration_1q)
 
 
@@ -329,10 +359,12 @@ def pass_manager_slam(
 ) -> Tuple[Circuit, Dict]:
     """Winner-substitution manager (pass_manager_slam,
     speed_limit_pass.py:501-528)."""
-    out = speed_gate_substitute(
-        circ, strategy=strategy, speed_method=speed_method,
-        duration_1q=duration_1q, basic_metric=basic_metric,
-        family_extension=family_extension, coupling_edges=coupling_edges,
+    out = optimize_1q_gates(
+        speed_gate_substitute(
+            circ, strategy=strategy, speed_method=speed_method,
+            duration_1q=duration_1q, basic_metric=basic_metric,
+            family_extension=family_extension, coupling_edges=coupling_edges,
+        )
     )
     return out, duration_analysis(out, duration_1q)
 
@@ -342,7 +374,9 @@ def pass_manager_optimized_sqiswap(
 ) -> Tuple[Circuit, Dict]:
     """Parallel-drive identity manager (pass_manager_optimized_sqiswap,
     speed_limit_pass.py:468-497)."""
-    out = optimized_sqiswap_sub(
-        circ, duration_1q=duration_1q, speed_method=speed_method
+    out = optimize_1q_gates(
+        optimized_sqiswap_sub(
+            circ, duration_1q=duration_1q, speed_method=speed_method
+        )
     )
     return out, duration_analysis(out, duration_1q)
