@@ -93,44 +93,61 @@ def collect_data(
     if gate_list is None:
         gate_list, _ = build_gates()
 
-    with h5py.File(H5_PATH, "a") as hf:
-        g = hf.require_group("bare_cost")
-        if overwrite:
-            g.clear()
-        for gate in gate_list:
-            gc, gg = gate.params[2], gate.params[3]
-            if gc == 0 and gg == 0:
-                continue  # identity can't build coverage
-            if str(gate) in g:
-                logger.debug("%s already in file", gate)
-                continue
-            start = time.time()
-            try:
-                cov = gate_set_to_coverage(gate, bare_cost=True, max_layers=max_layers)
-                haar_score = expected_cost(cov)
-                cnot_score, _ = monodromy_range_from_target(cov, G.CNOT.to_numpy())
-                swap_score, _ = monodromy_range_from_target(cov, G.SWAP.to_numpy())
-            except (ValueError, RuntimeError) as e:
-                logger.warning("scoring failed for %s: %s", gate, e)
-                continue
-            logger.info(
-                "scored %s in %.1fs: haar %.4f cnot %d swap %d",
-                gate, time.time() - start, haar_score, cnot_score, swap_score,
-            )
-            g.create_dataset(
-                str(gate),
-                data=np.array(
-                    [list(gate.params), [haar_score, cnot_score, swap_score, -1, -1]]
-                ),
-            )
+    def existing_keys():
+        try:
+            with h5py.File(H5_PATH, "r") as hf:
+                return set(hf["bare_cost"].keys()) if "bare_cost" in hf else set()
+        except OSError:
+            return set()
+
+    if overwrite:
+        with h5py.File(H5_PATH, "a") as hf:
+            if "bare_cost" in hf:
+                del hf["bare_cost"]
+    done = existing_keys()
+    for gate in gate_list:
+        gc, gg = gate.params[2], gate.params[3]
+        if gc == 0 and gg == 0:
+            continue  # identity can't build coverage
+        if str(gate) in done:
+            logger.debug("%s already in file", gate)
+            continue
+        start = time.time()
+        try:
+            cov = gate_set_to_coverage(gate, bare_cost=True, max_layers=max_layers)
+            haar_score = expected_cost(cov)
+            cnot_score, _ = monodromy_range_from_target(cov, G.CNOT.to_numpy())
+            swap_score, _ = monodromy_range_from_target(cov, G.SWAP.to_numpy())
+        except (ValueError, RuntimeError) as e:
+            logger.warning("scoring failed for %s: %s", gate, e)
+            continue
+        logger.info(
+            "scored %s in %.1fs: haar %.4f cnot %d swap %d",
+            gate, time.time() - start, haar_score, cnot_score, swap_score,
+        )
+        # open-append-close per gate so concurrent readers are never
+        # locked out for the duration of a long sweep
+        with h5py.File(H5_PATH, "a") as hf:
+            g = hf.require_group("bare_cost")
+            if str(gate) not in g:
+                g.create_dataset(
+                    str(gate),
+                    data=np.array(
+                        [list(gate.params),
+                         [haar_score, cnot_score, swap_score, -1, -1]]
+                    ),
+                )
 
 
 def load_candidates() -> List[Tuple[np.ndarray, np.ndarray]]:
-    """All (params, scores) rows from the bare-cost DB."""
+    """All (params, scores) rows from the bare-cost DB (lock-tolerant)."""
+    import os
+
     import h5py
 
+    os.environ.setdefault("HDF5_USE_FILE_LOCKING", "FALSE")
     out = []
-    with h5py.File(H5_PATH, "r") as hf:
+    with h5py.File(H5_PATH, "r", locking=False) as hf:
         g = hf["bare_cost"]
         for v in g.values():
             out.append((np.array(v[0]), np.array(v[1])))
