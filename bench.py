@@ -46,7 +46,7 @@ NORTH_STAR_RATE = 10_000 / 60.0
 
 def build(k):
     a = build_ansatz(cycle_gates([gates.SQISWAP], k))
-    return jax.jit(make_solver(a.eval_fn, a.n_params, adam_iters=160)), a
+    return jax.jit(make_solver(a.eval_fn, a.n_params)), a
 
 
 def solve_bucket(targets, solver, ansatz, key):

@@ -43,7 +43,7 @@ def make_solver(
     eval_fn: Callable,
     n_params: int,
     adam_iters: int = 250,
-    lm_iters: int = 10,
+    lm_iters: int = 6,
     adam_lr: float = 0.1,
     lower=None,
     upper=None,
@@ -136,25 +136,25 @@ def make_solver(
         xs32 = jax.vmap(
             jax.vmap(adam_one, in_axes=(0, None)), in_axes=(0, 0)
         )(x0s.astype(jnp.float32), tgt32)
-        xs = xs32.astype(x0s.dtype).reshape(B * R, n)
-        # LM phase holds jacfwd tangent intermediates (~2 MB/lane in f64):
-        # bound live memory by mapping fixed-size lane chunks while keeping
-        # one compiled program for any B
-        tgt_flat = (
-            jnp.repeat(tgt[0], R, axis=0),
-            jnp.repeat(tgt[1], R, axis=0),
-        )
+        # pick the best restart per target BEFORE the expensive f64 polish:
+        # Adam gets every basin to ~1e-4, which ranks restarts reliably, so
+        # LM runs on B lanes instead of B*R
+        fs32 = jax.vmap(
+            jax.vmap(lambda x, t0, t1: cost64(x, (t0, t1)), in_axes=(0, None, None)),
+            in_axes=(0, 0, 0),
+        )(xs32, tgt32[0], tgt32[1])
+        best0 = jnp.argmin(fs32, axis=1)
+        xs = jnp.take_along_axis(
+            xs32, best0[:, None, None], axis=1
+        ).squeeze(1).astype(x0s.dtype)
+        # LM holds jacfwd tangent intermediates (~2 MB/lane in f64): bound
+        # live memory by mapping fixed-size lane chunks (single program)
         def lm_lane(args):
             x, tr, ti = args
             return lm_one(x, (tr, ti))
 
-        xs = jax.lax.map(
-            lm_lane, (xs, tgt_flat[0], tgt_flat[1]), batch_size=1024
-        ).reshape(B, R, n)
-        fs = jax.vmap(jax.vmap(cost64, in_axes=(0, None)), in_axes=(0, 0))(xs, tgt)
-        best = jnp.argmin(fs, axis=1)
-        bx = jnp.take_along_axis(xs, best[:, None, None], axis=1).squeeze(1)
-        bf = jnp.take_along_axis(fs, best[:, None], axis=1).squeeze(1)
-        return bx, bf
+        xs = jax.lax.map(lm_lane, (xs, tgt[0], tgt[1]), batch_size=1024)
+        bf = jax.vmap(cost64)(xs, tgt)
+        return xs, bf
 
     return solve
