@@ -1,0 +1,11 @@
+"""Parallel-drive pulses: trajectories and solved ImprovedCX."""
+import sys; sys.path.insert(0, "..")
+# Host-side analysis runs on CPU; set JAX_PLATFORMS=cpu to skip TPU init.
+import numpy as np
+from slam_decomposition_tpu.models.trajectory import (
+    smush_trajectory, improved_cx)
+
+traj = smush_trajectory(0, 0, np.pi/2, 0, [0.3, -0.2, 0.5, 0.1], [0.1, 0.4, -0.3, 0.2])
+print("trajectory through the chamber:\n", np.round(traj, 3))
+params, loss = improved_cx()
+print("solved parallel-driven CX pulse, loss:", loss)

@@ -64,7 +64,7 @@ def make_solver(
         return jnp.clip(x, lower, upper)
 
     # ---------------- phase 1: Adam (f32)
-    def adam_one(x0, tgt32):
+    def adam_one(x0, tgt32, with_history=False):
         g_fn = jax.value_and_grad(lambda x: cost64(x, tgt32).astype(jnp.float32))
 
         def step(carry, i):
@@ -76,13 +76,15 @@ def make_solver(
             vhat = v / (1 - 0.999 ** (i + 1.0))
             lr = adam_lr * (0.5 ** (i / (adam_iters / 3.0)))
             x = project(x - lr * mhat / (jnp.sqrt(vhat) + 1e-8))
-            return (x, m, v), None
+            return (x, m, v), (f if with_history else None)
 
-        (x, _, _), _ = jax.lax.scan(
+        (x, _, _), hist = jax.lax.scan(
             step,
             (x0, jnp.zeros_like(x0), jnp.zeros_like(x0)),
             jnp.arange(adam_iters, dtype=jnp.float32),
         )
+        if with_history:
+            return x, hist
         return x
 
     # ---------------- phase 2: LM (f64)
@@ -157,4 +159,31 @@ def make_solver(
         bf = jax.vmap(cost64)(xs, tgt)
         return xs, bf
 
+    def solve_with_history(x0s, tgt):
+        """As solve, additionally returning per-iteration Adam losses of
+        every restart, (B, R, adam_iters) — feeds
+        utils.visualize.optimizer_training_plot (the reference's
+        use_callback role, optimizer.py:217-224)."""
+        B, R, n = x0s.shape
+        tgt32 = (tgt[0].astype(jnp.float32), tgt[1].astype(jnp.float32))
+        xs32, hist = jax.vmap(
+            jax.vmap(lambda x, t: adam_one(x, t, True), in_axes=(0, None)),
+            in_axes=(0, 0),
+        )(x0s.astype(jnp.float32), tgt32)
+        fs32 = jax.vmap(
+            jax.vmap(lambda x, t0, t1: cost64(x, (t0, t1)), in_axes=(0, None, None)),
+            in_axes=(0, 0, 0),
+        )(xs32, tgt32[0], tgt32[1])
+        best0 = jnp.argmin(fs32, axis=1)
+        xs = jnp.take_along_axis(
+            xs32, best0[:, None, None], axis=1
+        ).squeeze(1).astype(x0s.dtype)
+        xs = jax.lax.map(
+            lambda a: lm_one(a[0], (a[1], a[2])), (xs, tgt[0], tgt[1]),
+            batch_size=1024,
+        )
+        bf = jax.vmap(cost64)(xs, tgt)
+        return xs, bf, hist
+
+    solve.with_history = solve_with_history
     return solve
