@@ -125,23 +125,27 @@ def build_ansatz(
     fixed_cost = float(sum(g.cost() for g in gate_seq))
 
     def eval_fn(x):
-        x = jnp.asarray(x, dtype=dtype)
+        # follow the parameter dtype so an f32 optimization phase stays f32
+        # end-to-end (f64 constants would silently promote everything)
+        x = jnp.asarray(x)
+        dt = x.dtype
+        G = (Gs[0].astype(dt), Gs[1].astype(dt))
         if no_exterior_1q:
-            U = (Gs[0][0], Gs[1][0])
+            U = (G[0][0], G[1][0])
             for i in range(1, k):
                 if i - 1 < n_layers:
                     L = _layer_1q(
-                        x[(i - 1) * layer_p : i * layer_p], n_qubits, vz_only, dtype
+                        x[(i - 1) * layer_p : i * layer_p], n_qubits, vz_only, dt
                     )
                     U = cplx.matmul(L, U)
-                U = cplx.matmul((Gs[0][i], Gs[1][i]), U)
+                U = cplx.matmul((G[0][i], G[1][i]), U)
             return U
         else:
-            U = _layer_1q(x[:layer_p], n_qubits, vz_only, dtype)
+            U = _layer_1q(x[:layer_p], n_qubits, vz_only, dt)
             for i in range(k):
-                U = cplx.matmul((Gs[0][i], Gs[1][i]), U)
+                U = cplx.matmul((G[0][i], G[1][i]), U)
                 L = _layer_1q(
-                    x[(i + 1) * layer_p : (i + 2) * layer_p], n_qubits, vz_only, dtype
+                    x[(i + 1) * layer_p : (i + 2) * layer_p], n_qubits, vz_only, dt
                 )
                 U = cplx.matmul(L, U)
             return U

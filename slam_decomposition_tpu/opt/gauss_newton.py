@@ -42,8 +42,9 @@ def _phase_residual(eval_fn, x, tgt):
 def make_solver(
     eval_fn: Callable,
     n_params: int,
-    adam_iters: int = 250,
+    adam_iters: int = 100,
     lm_iters: int = 6,
+    lm32_iters: int = 8,
     adam_lr: float = 0.1,
     lower=None,
     upper=None,
@@ -87,7 +88,7 @@ def make_solver(
             return x, hist
         return x
 
-    # ---------------- phase 2: LM (f64)
+    # ---------------- phase 1.5 / 2: LM (f32 ranking pass + f64 polish)
     def _spd_solve(A, b):
         """Conjugate gradient for the (regularized, SPD) normal equations —
         TPU's LU lowering supports only f32/c64, so jnp.linalg.solve is
@@ -109,7 +110,7 @@ def make_solver(
         x, _, _, _ = jax.lax.fori_loop(0, n + 8, body, carry)
         return x
 
-    def lm_one(x0, tgt):
+    def lm_one(x0, tgt, iters=None):
         r_fn = lambda x: _phase_residual(eval_fn, x, tgt)
         J_fn = jax.jacfwd(r_fn)
 
@@ -128,7 +129,10 @@ def make_solver(
             return (x, lam), None
 
         (x, _), _ = jax.lax.scan(
-            step, (x0, jnp.asarray(1e-3, x0.dtype)), None, length=lm_iters
+            step,
+            (x0, jnp.asarray(1e-3, x0.dtype)),
+            None,
+            length=iters if iters is not None else lm_iters,
         )
         return x
 
@@ -138,9 +142,16 @@ def make_solver(
         xs32 = jax.vmap(
             jax.vmap(adam_one, in_axes=(0, None)), in_axes=(0, 0)
         )(x0s.astype(jnp.float32), tgt32)
-        # pick the best restart per target BEFORE the expensive f64 polish:
-        # Adam gets every basin to ~1e-4, which ranks restarts reliably, so
-        # LM runs on B lanes instead of B*R
+        # f32 LM ranking pass on every restart (Adam only needs to reach the
+        # right basin, ~1e-2; LM then contracts quadratically in f32 to its
+        # ~1e-6 floor — much cheaper than running Adam to 1e-4)
+        xs32 = jax.vmap(
+            jax.vmap(
+                lambda x, t0, t1: lm_one(x, (t0, t1), iters=lm32_iters),
+                in_axes=(0, None, None),
+            ),
+            in_axes=(0, 0, 0),
+        )(xs32, tgt32[0], tgt32[1])
         fs32 = jax.vmap(
             jax.vmap(lambda x, t0, t1: cost64(x, (t0, t1)), in_axes=(0, None, None)),
             in_axes=(0, 0, 0),
