@@ -71,6 +71,8 @@ def make_solver(
         def step(carry, i):
             x, m, v = carry
             f, g = g_fn(x)
+            g = g.astype(x.dtype)  # f64-internal eval_fns promote cotangents
+            f = f.astype(x.dtype)
             m = 0.9 * m + 0.1 * g
             v = 0.999 * v + 0.001 * (g * g)
             mhat = m / (1 - 0.9 ** (i + 1.0))
@@ -118,9 +120,11 @@ def make_solver(
             x, lam = carry
             r = r_fn(x)
             J = J_fn(x)
-            A = J.T @ J + lam * jnp.eye(n_params, dtype=x.dtype)
+            A = J.T @ J + lam * jnp.eye(n_params, dtype=J.dtype)
             dx = _spd_solve(A, -(J.T @ r))
-            xn = project(x + dx)
+            # eval_fns with internal f64 constants promote dx; keep the scan
+            # carry dtype stable
+            xn = project(x + dx.astype(x.dtype))
             fn, f0 = jnp.sum(r_fn(xn) ** 2), jnp.sum(r * r)
             improved = fn < f0
             lam = jnp.where(improved, lam * 0.3, lam * 8.0)

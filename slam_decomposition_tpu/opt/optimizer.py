@@ -62,7 +62,12 @@ class TemplateOptimizer:
         constraint_max_cost: Optional[float] = None,
         penalty_weight: float = 10.0,
         use_callback: bool = False,
+        method: str = "auto",
     ):
+        """method: 'auto' uses the scan-based Adam+LM pipeline
+        (opt/gauss_newton.py — the TPU-fast path) for unconstrained
+        square-cost problems and falls back to L-BFGS otherwise; 'lbfgs'
+        forces the reference-faithful quasi-Newton loop."""
         if isinstance(basis, Ansatz):
             fixed = basis
             self.builder = lambda k: fixed
@@ -89,7 +94,9 @@ class TemplateOptimizer:
         self.constraint_max_cost = constraint_max_cost
         self.penalty_weight = penalty_weight
         self.use_callback = use_callback
+        self.method = method
         self.training_loss: list = []  # per solve: final losses
+        self.training_history: list = []  # per k: (B, R, iters) adam losses
         self.coordinate_list: list = []
         self._solver_cache: Dict[Tuple, Callable] = {}
 
@@ -99,6 +106,35 @@ class TemplateOptimizer:
         key = (id(ansatz.eval_fn), batch, restarts)
         if key in self._solver_cache:
             return self._solver_cache[key]
+
+        use_fast = (
+            self.method == "auto"
+            and self.constraint_max_cost is None
+            and self.objective is cost_lib.COSTS.get("square")
+        ) or self.method == "gauss_newton"
+        if use_fast:
+            from slam_decomposition_tpu.opt.gauss_newton import make_solver
+
+            base = make_solver(
+                ansatz.eval_fn,
+                ansatz.n_params,
+                lower=jnp.asarray(ansatz.lower) if ansatz.use_bounds else None,
+                upper=jnp.asarray(ansatz.upper) if ansatz.use_bounds else None,
+            )
+            with_history = self.use_callback
+            hist_fn = jax.jit(base.with_history) if with_history else None
+            fast = jax.jit(base)
+
+            def solver(x0s, tgt_pair):
+                if with_history:
+                    xs, fs, hist = hist_fn(x0s, tgt_pair)
+                    self.training_history.append(np.asarray(hist))
+                else:
+                    xs, fs = fast(x0s, tgt_pair)
+                return xs, fs, jnp.zeros(())
+
+            self._solver_cache[key] = solver
+            return solver
 
         objective = self.objective
         threshold = self.success_threshold
