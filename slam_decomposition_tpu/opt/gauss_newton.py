@@ -62,7 +62,9 @@ def make_solver(
     def project(x):
         if lower is None:
             return x
-        return jnp.clip(x, lower, upper)
+        return jnp.clip(
+            x, jnp.asarray(lower, x.dtype), jnp.asarray(upper, x.dtype)
+        )
 
     # ---------------- phase 1: Adam (f32)
     def adam_one(x0, tgt32, with_history=False):
