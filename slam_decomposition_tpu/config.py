@@ -48,7 +48,11 @@ config = Config()
 
 
 def setup_x64() -> None:
-    if config.enable_x64:
-        import jax
+    import jax
 
+    if config.enable_x64:
         jax.config.update("jax_enable_x64", True)
+    # TPU f32 matmuls default to bf16 MXU passes (~3 significant digits),
+    # which stalls the f32 optimization phases at ~1e-3; force the 3-pass
+    # full-f32 algorithm
+    jax.config.update("jax_default_matmul_precision", "highest")
