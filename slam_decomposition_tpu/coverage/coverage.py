@@ -286,22 +286,44 @@ def monodromy_range_from_target(
 def monodromy_ranges_batch(
     coverage: Sequence[CircuitPolytope], targets: np.ndarray
 ) -> List[Tuple[int, CircuitPolytope]]:
-    """Batched ranges: ONE device call for all target coordinates, float
-    membership per layer (the reference looped per DAG node,
-    speed_limit_pass.py:176)."""
-    reps = monodromy_reps_float(np.asarray(targets))[:, :, :3]
-    layers = sorted(
-        [c for c in coverage if c.cost > 0], key=lambda c: c.cost
-    )
-    out = []
-    for i in range(len(reps)):
-        if (np.abs(reps[i]) < 1e-9).all(axis=1).any():
-            out.append((0, coverage[0]))
-            continue
-        for cp in layers:
-            if cp.contains_float(reps[i]):
-                out.append((len(cp.operations), cp))
-                break
-        else:
-            raise ValueError("no coverage polytope contains target")
-    return out
+    """Batched ranges: ONE device call for all target coordinates, then
+    fully vectorized membership (targets x reps x rows in one einsum per
+    subpolytope). The reference looped per DAG node
+    (speed_limit_pass.py:176)."""
+    reps = monodromy_reps_float(np.asarray(targets))[:, :, :3]  # (N, 2, 3)
+    n = len(reps)
+    layers = sorted([c for c in coverage if c.cost > 0], key=lambda c: c.cost)
+    assigned = np.full(n, -1, dtype=int)
+    is_id = (np.abs(reps) < 1e-9).all(axis=2).any(axis=1)
+    assigned[is_id] = 0
+    tol = 1e-8
+    results: List = [None] * n
+    for i in np.where(is_id)[0]:
+        results[i] = (0, coverage[0])
+    for li, cp in enumerate(layers):
+        todo = np.where(assigned < 0)[0]
+        if len(todo) == 0:
+            break
+        pts = reps[todo]  # (m, 2, 3)
+        member = np.zeros(len(todo), dtype=bool)
+        cp.contains_float(np.zeros((1, 3)))  # build row cache
+        for ineq, eq in cp._float_rows:
+            ok = np.ones((len(todo), 2), dtype=bool)
+            if len(ineq):
+                vals = ineq[:, 0][None, None, :] + np.einsum(
+                    "mrk,jk->mrj", pts, ineq[:, 1:]
+                )
+                ok &= (vals >= -tol).all(axis=2)
+            if len(eq):
+                vals = eq[:, 0][None, None, :] + np.einsum(
+                    "mrk,jk->mrj", pts, eq[:, 1:]
+                )
+                ok &= (np.abs(vals) <= tol).all(axis=2)
+            member |= ok.any(axis=1)
+        hit = todo[member]
+        assigned[hit] = 1
+        for i in hit:
+            results[i] = (len(cp.operations), cp)
+    if (assigned < 0).any():
+        raise ValueError("no coverage polytope contains some targets")
+    return results
