@@ -78,10 +78,13 @@ def run(targets, key, s2, a2, s3, a3, ks):
             continue
         l, key = solve_bucket(targets[idx], solver, ansatz, key)
         losses[idx] = l
-    # rescue: k=2 targets whose restarts all missed re-solve at k=3 (the
-    # reference's spanning-range extension, optimizer.py:233-303)
-    stuck = np.where((ks == 2) & (losses > THRESH))[0]
-    if len(stuck):
+    # rescue rounds: unconverged targets re-solve at k=3 with fresh seeds
+    # (the reference's spanning-range extension + restart ladder,
+    # optimizer.py:233-303); every target is k<=3-coverable
+    for _ in range(3):
+        stuck = np.where(losses > THRESH)[0]
+        if len(stuck) == 0:
+            break
         l, key = solve_bucket(targets[stuck], s3, a3, key)
         losses[stuck] = np.minimum(losses[stuck], l)
     return losses
