@@ -134,6 +134,103 @@ def joint_diag(X, Y, sweeps: int = 12):
     return x, y, V
 
 
+def eig_unitary(U: cplx.CMat, sweeps: int = 12):
+    """Eigendecomposition of a (batched) unitary matrix pair: returns
+    (theta, V) with U = V diag(e^{i theta}) V^dagger.
+
+    A = (U + U^dag)/2 and B = (U - U^dag)/(2i) are commuting Hermitian
+    matrices; a joint complex Jacobi diagonalization (pivot angles from the
+    summed off-diagonal energy of both) finds the shared eigenbasis —
+    deterministic and jit-safe (needed for fractional unitary powers,
+    reference cost_function.py:148-166)."""
+    Ur, Ui = U
+    Ar = 0.5 * (Ur + jnp.swapaxes(Ur, -1, -2))
+    Ai = 0.5 * (Ui - jnp.swapaxes(Ui, -1, -2))
+    Br = 0.5 * (Ui + jnp.swapaxes(Ui, -1, -2))
+    Bi = 0.5 * (jnp.swapaxes(Ur, -1, -2) - Ur)
+    n = Ur.shape[-1]
+    Vr = jnp.broadcast_to(jnp.eye(n, dtype=Ur.dtype), Ur.shape).copy()
+    Vi = jnp.zeros_like(Vr)
+    pairs = _pairs(n)
+
+    def sweep(carry, _):
+        Ar, Ai, Br, Bi, Vr, Vi = carry
+        for (p, q) in pairs:
+            # joint pivot: treat (re, im) off-diagonals of both matrices as
+            # a 4-vector; Hermitian Givens with phi = angle of the dominant
+            # matrix's pivot, theta from the combined magnitudes
+            har = Ar[..., p, q]
+            hai = Ai[..., p, q]
+            hbr = Br[..., p, q]
+            hbi = Bi[..., p, q]
+            ma2 = har * har + hai * hai
+            mb2 = hbr * hbr + hbi * hbi
+            use_a = ma2 >= mb2
+            hr = jnp.where(use_a, har, hbr)
+            hi = jnp.where(use_a, hai, hbi)
+            dd = jnp.where(
+                use_a,
+                Ar[..., p, p] - Ar[..., q, q],
+                Br[..., p, p] - Br[..., q, q],
+            )
+            mag = jnp.sqrt(hr * hr + hi * hi)
+            phi = jnp.arctan2(hi, hr)
+            theta = _fold_angle(0.5 * jnp.arctan2(2.0 * mag, dd))
+            c = jnp.cos(theta)
+            st = jnp.sin(theta)
+            sr = -st * jnp.cos(phi)
+            si = -st * jnp.sin(phi)
+            Ar, Ai = _crot_pair(Ar, Ai, p, q, c, sr, si)
+            Br, Bi = _crot_pair(Br, Bi, p, q, c, sr, si)
+            Vr, Vi = _crot_right_pair(Vr, Vi, p, q, c, sr, si)
+        return (Ar, Ai, Br, Bi, Vr, Vi), None
+
+    (Ar, Ai, Br, Bi, Vr, Vi), _ = jax.lax.scan(
+        sweep, (Ar, Ai, Br, Bi, Vr, Vi), None, length=sweeps
+    )
+    a = jnp.diagonal(Ar, axis1=-2, axis2=-1)
+    b = jnp.diagonal(Br, axis1=-2, axis2=-1)
+    return jnp.arctan2(b, a), (Vr, Vi)
+
+
+def _crot_pair(Ar, Ai, p, q, c, sr, si):
+    c = jnp.asarray(c)[..., None]
+    sr = jnp.asarray(sr)[..., None]
+    si = jnp.asarray(si)[..., None]
+    Apr, Api = Ar[..., p, :], Ai[..., p, :]
+    Aqr, Aqi = Ar[..., q, :], Ai[..., q, :]
+    new_pr = c * Apr - (sr * Aqr - si * Aqi)
+    new_pi = c * Api - (sr * Aqi + si * Aqr)
+    new_qr = (sr * Apr + si * Api) + c * Aqr
+    new_qi = (sr * Api - si * Apr) + c * Aqi
+    Ar = Ar.at[..., p, :].set(new_pr).at[..., q, :].set(new_qr)
+    Ai = Ai.at[..., p, :].set(new_pi).at[..., q, :].set(new_qi)
+    Apr, Api = Ar[..., :, p], Ai[..., :, p]
+    Aqr, Aqi = Ar[..., :, q], Ai[..., :, q]
+    new_pr = c * Apr - (sr * Aqr + si * Aqi)
+    new_pi = c * Api - (sr * Aqi - si * Aqr)
+    new_qr = (sr * Apr - si * Api) + c * Aqr
+    new_qi = (sr * Api + si * Apr) + c * Aqi
+    Ar = Ar.at[..., :, p].set(new_pr).at[..., :, q].set(new_qr)
+    Ai = Ai.at[..., :, p].set(new_pi).at[..., :, q].set(new_qi)
+    return Ar, Ai
+
+
+def _crot_right_pair(Vr, Vi, p, q, c, sr, si):
+    c = jnp.asarray(c)[..., None]
+    sr = jnp.asarray(sr)[..., None]
+    si = jnp.asarray(si)[..., None]
+    Vpr, Vpi = Vr[..., :, p], Vi[..., :, p]
+    Vqr, Vqi = Vr[..., :, q], Vi[..., :, q]
+    new_pr = c * Vpr - (sr * Vqr + si * Vqi)
+    new_pi = c * Vpi - (sr * Vqi - si * Vqr)
+    new_qr = (sr * Vpr - si * Vpi) + c * Vqr
+    new_qi = (sr * Vpi + si * Vpr) + c * Vqi
+    Vr = Vr.at[..., :, p].set(new_pr).at[..., :, q].set(new_qr)
+    Vi = Vi.at[..., :, p].set(new_pi).at[..., :, q].set(new_qi)
+    return Vr, Vi
+
+
 def eigh_hermitian(H: cplx.CMat, sweeps: int = 10):
     """Complex Hermitian eigendecomposition on (re, im) pairs.
 

@@ -100,6 +100,33 @@ def b_to_sqswap_segment():
     return np.array([0.5, 0.25, 0.0]), np.array([0.75, 0.25, 0.25])
 
 
+def unitary_power(U: cplx.CMat, s) -> cplx.CMat:
+    """Fractional power U^s = V diag(e^{i s theta}) V^dag via the joint
+    Jacobi unitary eigendecomposition (ops/eig.py)."""
+    from slam_decomposition_tpu.ops.eig import eig_unitary
+
+    theta, V = eig_unitary(U)
+    ph = cplx.expi(s * theta)
+    Vd = cplx.dagger(V)
+    DVd = (
+        ph[0][..., :, None] * Vd[0] - ph[1][..., :, None] * Vd[1],
+        ph[0][..., :, None] * Vd[1] + ph[1][..., :, None] * Vd[0],
+    )
+    return cplx.matmul(V, DVd)
+
+
+def continuous_cost(U, V, timesteps: int = 2):
+    """Fit the whole continuous evolution, not just the endpoint: sum of
+    BasicCost over fractional powers U^s vs V^s at s = j/timesteps,
+    j = 1..timesteps (ContinuousUnitaryCostFunction,
+    cost_function.py:148-166)."""
+    total = 0.0
+    for j in range(1, timesteps + 1):
+        s = j / timesteps
+        total = total + basic_cost(unitary_power(U, s), unitary_power(V, s))
+    return total
+
+
 # ------------------------------------------------------------- 3Q monotones
 
 

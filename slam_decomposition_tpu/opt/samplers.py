@@ -43,20 +43,51 @@ def _clifford_generators(n_qubits: int):
     raise NotImplementedError
 
 
-def clifford_sample(n_samples: int = 1, n_qubits: int = 2, seed: Optional[int] = None, word_length: int = 40):
-    """Random Clifford unitaries via long random generator words
-    (sampler.py:57-59 used qiskit's random_clifford; generator-word sampling
-    mixes to near-uniform on the 2Q Clifford group at this word length)."""
-    rng = np.random.default_rng(seed)
+_CLIFFORD_CACHE = {}
+
+
+def _clifford_group(n_qubits: int) -> np.ndarray:
+    """The full n-qubit Clifford group modulo global phase, enumerated by
+    BFS over {H_i, S_i, CNOT_ij} with phase-canonicalized matrices
+    (|C_1| = 24, |C_2| = 11520). Exact replacement for qiskit's
+    random_clifford (reference sampler.py:57-59)."""
+    if n_qubits in _CLIFFORD_CACHE:
+        return _CLIFFORD_CACHE[n_qubits]
     gens = _clifford_generators(n_qubits)
     d = 2**n_qubits
-    out = np.empty((n_samples, d, d), dtype=complex)
-    for i in range(n_samples):
-        U = np.eye(d, dtype=complex)
-        for g in rng.integers(0, len(gens), size=word_length):
-            U = gens[g] @ U
-        out[i] = U
-    return out
+
+    def canon(U):
+        flat = U.reshape(-1)
+        idx = int(np.argmax(np.abs(flat) > 1e-9))
+        Uc = U * (abs(flat[idx]) / flat[idx])
+        return Uc, tuple(np.round(Uc.reshape(-1), 6).view(float))
+
+    seen = {}
+    frontier = [np.eye(d, dtype=complex)]
+    Uc, key = canon(frontier[0])
+    seen[key] = Uc
+    while frontier:
+        nxt = []
+        for U in frontier:
+            for g in gens:
+                Uc, key = canon(g @ U)
+                if key not in seen:
+                    seen[key] = Uc
+                    nxt.append(Uc)
+        frontier = nxt
+    group = np.stack(list(seen.values()))
+    expected = {1: 24, 2: 11520}.get(n_qubits)
+    if expected is not None and len(group) != expected:
+        raise RuntimeError(f"Clifford enumeration found {len(group)} != {expected}")
+    _CLIFFORD_CACHE[n_qubits] = group
+    return group
+
+
+def clifford_sample(n_samples: int = 1, n_qubits: int = 2, seed: Optional[int] = None):
+    """Exactly uniform random Clifford unitaries (up to global phase)."""
+    group = _clifford_group(n_qubits)
+    rng = np.random.default_rng(seed)
+    return group[rng.integers(0, len(group), size=n_samples)].copy()
 
 
 def gate_sample(gate: Gate, n_samples: int = 1):

@@ -123,3 +123,10 @@ def test_smush_hull_rationalization():
     for p in pts:
         assert hull.contains([Fraction(float(x)).limit_denominator(10**6) for x in p],
                              Fraction(1, 10**6))
+
+
+def test_exact_clifford_group_sizes():
+    from slam_decomposition_tpu.opt.samplers import _clifford_group
+
+    assert len(_clifford_group(1)) == 24
+    assert len(_clifford_group(2)) == 11520

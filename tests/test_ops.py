@@ -79,3 +79,25 @@ def test_expm_8x8():
     got = cplx.to_numpy(expm_skew(cplx.from_numpy(H), t=0.7))
     want = scipy.linalg.expm(-0.7j * H)
     np.testing.assert_allclose(got, want, atol=1e-11)
+
+
+def test_eig_unitary():
+    rng = np.random.default_rng(7)
+    U = unitary_group.rvs(4, random_state=rng)
+    from slam_decomposition_tpu.ops.eig import eig_unitary
+
+    th, V = eig_unitary(cplx.from_numpy(U))
+    Vn = cplx.to_numpy(V)
+    rec = Vn @ np.diag(np.exp(1j * np.asarray(th))) @ Vn.conj().T
+    np.testing.assert_allclose(rec, U, atol=1e-12)
+
+
+def test_unitary_power_and_continuous_cost():
+    from slam_decomposition_tpu.opt.costs import continuous_cost, unitary_power
+
+    rng = np.random.default_rng(8)
+    U = unitary_group.rvs(4, random_state=rng)
+    h = cplx.to_numpy(unitary_power(cplx.from_numpy(U), 0.5))
+    np.testing.assert_allclose(h @ h, U, atol=1e-12)
+    c = continuous_cost(cplx.from_numpy(U), cplx.from_numpy(U))
+    assert abs(float(c)) < 1e-12
