@@ -228,6 +228,13 @@ def gate_set_to_coverage(
     return out
 
 
+def gate_set_to_haar_expectation(*gates: Gate, **kw) -> float:
+    """Coverage + Haar expectation in one call (polytope_wrap.py:129-133)."""
+    from slam_decomposition_tpu.coverage.haar import expected_cost
+
+    return expected_cost(gate_set_to_coverage(*gates, **kw))
+
+
 def _covers_everything(poly: Polytope) -> bool:
     from slam_decomposition_tpu.coverage.polytope import _convex_subset
 

@@ -23,20 +23,27 @@ from slam_decomposition_tpu.ops.expm import expm_taylor
 
 
 def smush_prefix_unitaries(
-    phi_c, phi_g, gc, gg, gx_vec, gy_vec, t=1.0, dtype=jnp.float64
+    phi_c, phi_g, gc, gg, gx_vec, gy_vec, t=1.0, dts=None, dtype=jnp.float64
 ) -> cplx.CMat:
     """All prefix products U_1..k of the Trotter slices, k = 1..N, shape
-    (N, 4, 4) pair — associative scan, not a serial loop."""
+    (N, 4, 4) pair — associative scan, not a serial loop.
+
+    ``dts`` optionally gives per-slice durations (the reference's
+    prepare_parameters_nonuniform role, pd_playground.py:140-167); default
+    is uniform t/N."""
     gx_vec = jnp.asarray(gx_vec, dtype=dtype)
     gy_vec = jnp.asarray(gy_vec, dtype=dtype)
     n = gx_vec.shape[-1]
-    dt = jnp.asarray(t, dtype=dtype) / n
+    if dts is None:
+        dts = jnp.full((n,), jnp.asarray(t, dtype=dtype) / n, dtype=dtype)
+    else:
+        dts = jnp.asarray(dts, dtype=dtype)
 
-    def slice_u(gx, gy):
+    def slice_u(gx, gy, dt):
         H = ham.smush_h(phi_c, phi_g, gc, gg, gx, gy, dtype=dtype)
         return expm_taylor((H[1] * dt, -H[0] * dt))
 
-    Us = jax.vmap(slice_u)(gx_vec, gy_vec)  # (N,4,4) pair
+    Us = jax.vmap(slice_u)(gx_vec, gy_vec, dts)  # (N,4,4) pair
 
     def combine(a, b):
         # prefix convention: later slice multiplies from the left

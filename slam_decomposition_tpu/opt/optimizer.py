@@ -233,6 +233,16 @@ class TemplateOptimizer:
             best_x[improve, : ansatz.n_params] = xs[improve]
             solved = solved | (active & (fs <= self.success_threshold))
 
+        # record achieved Weyl coordinates (the reference logs these for the
+        # chamber-trajectory plots, optimizer.py:85-106)
+        if self.use_callback:
+            try:
+                from slam_decomposition_tpu.transpile.passes import _c1c2c3_batch
+
+                self.coordinate_list.append(_c1c2c3_batch(np.asarray(targets)))
+            except Exception:
+                pass
+
         success = best_loss <= self.success_threshold
         if not success.all() and not self.override_fail:
             worst = float(best_loss.max())
