@@ -23,8 +23,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from slam_decomposition_tpu.models.templates import Ansatz
-from slam_decomposition_tpu.opt import costs as cost_lib
-from slam_decomposition_tpu.opt.minimize import lbfgs
 
 
 def make_mesh(n_devices: Optional[int] = None, rp: int = 1) -> Mesh:
