@@ -192,6 +192,7 @@ def gate_set_to_coverage(
     gate_polys = {str(g): gate_polytope(g) for g in gates}
 
     out = [CircuitPolytope(operations=[], cost=0.0, polytope=IDENTITY_POLYTOPE)]
+    complete = False
 
     import heapq
 
@@ -216,6 +217,7 @@ def gate_set_to_coverage(
         built[tuple(seq)] = poly
         out.append(CircuitPolytope(operations=list(seq), cost=cost, polytope=poly))
         if _covers_everything(poly):
+            complete = True
             break
         for nm in names:
             heapq.heappush(
@@ -223,8 +225,11 @@ def gate_set_to_coverage(
             )
             counter += 1
 
-    with open(cache, "wb") as f:
-        pickle.dump(out, f)
+    # never cache an incomplete (max_layers-capped) set: a later call with a
+    # higher cap must rebuild, not silently inherit the truncation
+    if complete:
+        with open(cache, "wb") as f:
+            pickle.dump(out, f)
     return out
 
 
