@@ -63,6 +63,8 @@ class TemplateOptimizer:
         penalty_weight: float = 10.0,
         use_callback: bool = False,
         method: str = "auto",
+        preseed: bool = False,
+        preseed_key: Optional[str] = None,
     ):
         """method: 'auto' uses the scan-based Adam+LM pipeline
         (opt/gauss_newton.py — the TPU-fast path) for unconstrained
@@ -95,6 +97,16 @@ class TemplateOptimizer:
         self.penalty_weight = penalty_weight
         self.use_callback = use_callback
         self.method = method
+        # preseeding store: solved decompositions keyed by Weyl coordinate,
+        # nearest neighbor seeds restart 0 (basis_abc.py:24-77 + KDTree
+        # lookup at optimizer.py:126-149, batched here)
+        self.preseed_store = None
+        if preseed:
+            from slam_decomposition_tpu.opt.preseed import PreseedStore
+
+            self.preseed_store = PreseedStore.load(
+                preseed_key or f"preseed_{id(self.builder)}"
+            )
         self.training_loss: list = []  # per solve: final losses
         self.training_history: list = []  # per k: (B, R, iters) adam losses
         self.coordinate_list: list = []
@@ -204,6 +216,12 @@ class TemplateOptimizer:
             per_target_ks = [list(r) for r in spanning_ranges]
             ks = sorted(set(k for r in per_target_ks for k in r))
 
+        target_coords = None
+        if self.preseed_store is not None:
+            from slam_decomposition_tpu.transpile.passes import _c1c2c3_batch
+
+            target_coords = _c1c2c3_batch(np.asarray(targets))
+
         n_max = max(self.builder(k).n_params for k in ks)
         best_loss = np.full(B, np.inf)
         best_x = np.zeros((B, n_max))
@@ -223,6 +241,14 @@ class TemplateOptimizer:
             solver = self._make_solver(ansatz, B, self.training_restarts)
             key, sub = jax.random.split(key)
             x0s = self._init_params(sub, ansatz, B, self.training_restarts)
+            if self.preseed_store is not None and len(self.preseed_store):
+                seeds, ok = self.preseed_store.seeds_for(
+                    target_coords, ansatz.n_params, cycles=k, temperature=1.0
+                )
+                if ok.any():
+                    x0s = np.array(x0s)  # writable copy
+                    x0s[ok, 0, :] = seeds[ok]
+                    x0s = jnp.asarray(x0s)
             xs, fs, _ = solver(x0s, tgt)
             xs = np.asarray(xs)
             fs = np.asarray(fs)
@@ -242,6 +268,20 @@ class TemplateOptimizer:
                 self.coordinate_list.append(_c1c2c3_batch(np.asarray(targets)))
             except Exception:
                 pass
+
+        # persist solved decompositions for future preseeding
+        # (optimizer.py:112-118 save + tree rebuild, batched)
+        if self.preseed_store is not None:
+            solved_idx = np.where(best_loss <= self.success_threshold)[0]
+            if len(solved_idx):
+                coords = target_coords[solved_idx]
+                self.preseed_store.add(
+                    coords,
+                    best_x[solved_idx],
+                    best_k[solved_idx],
+                    best_loss[solved_idx],
+                )
+                self.preseed_store.save()
 
         success = best_loss <= self.success_threshold
         if not success.all() and not self.override_fail:

@@ -106,3 +106,28 @@ def test_vz_only_and_no_exterior_shapes():
     assert a.n_params == 3 * 2  # 3 layers x 2 qubits x 1 param
     b = build_ansatz(cycle_gates([gates.CNOT], 3), no_exterior_1q=True)
     assert b.n_params == 2 * 6  # interior layers only
+
+
+def test_preseeding_end_to_end(tmp_path, monkeypatch):
+    """Solved decompositions persist and seed a later run on the same
+    coordinates (basis_abc.py:24-77 + optimizer.py:126-149 flow)."""
+    from slam_decomposition_tpu.config import config as cfg_obj
+
+    monkeypatch.setattr(cfg_obj, "data_dir", tmp_path)
+    targets = haar_sample(3, seed=21)
+    mk = lambda: TemplateOptimizer(
+        _builder(gates.SQISWAP), spanning_range=[3], training_restarts=3,
+        override_fail=True, max_iters=200, preseed=True, preseed_key="t",
+    )
+    opt1 = mk()
+    res1 = opt1.approximate_from_distribution(targets)
+    assert res1.success.all()
+    assert len(opt1.preseed_store) == 3
+    opt2 = mk()
+    assert len(opt2.preseed_store) == 3
+    seeds, ok = opt2.preseed_store.seeds_for(
+        opt1.preseed_store.coords, opt1.preseed_store.params.shape[1], cycles=3
+    )
+    assert ok.all()
+    res2 = opt2.approximate_from_distribution(targets)
+    assert res2.success.all()
