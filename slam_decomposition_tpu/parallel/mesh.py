@@ -26,11 +26,26 @@ from slam_decomposition_tpu.models.templates import Ansatz
 
 
 def make_mesh(n_devices: Optional[int] = None, rp: int = 1) -> Mesh:
-    """Mesh with ('dp', 'rp') axes over the first n devices."""
-    devs = jax.devices()[: n_devices or len(jax.devices())]
-    n = len(devs)
-    assert n % rp == 0, (n, rp)
-    arr = np.array(devs).reshape(n // rp, rp)
+    """Mesh with ('dp', 'rp') axes over the first n devices.
+
+    Raises instead of silently truncating when fewer than ``n_devices``
+    devices are visible — on this platform the backend may be pinned to a
+    single-chip TPU plugin; tests/conftest.py shows how to force N virtual
+    CPU devices for mesh work without hardware.
+    """
+    all_devs = jax.devices()
+    n = n_devices or len(all_devs)
+    if len(all_devs) < n:
+        raise RuntimeError(
+            f"make_mesh: requested {n} devices but only {len(all_devs)} "
+            f"visible (platform="
+            f"{all_devs[0].platform if all_devs else 'none'}). For a "
+            "virtual mesh, set XLA_FLAGS=--xla_force_host_platform_device_"
+            "count=N and select the CPU platform before first jax use."
+        )
+    if n % rp != 0:
+        raise ValueError(f"make_mesh: n_devices={n} not divisible by rp={rp}")
+    arr = np.array(all_devs[:n]).reshape(n // rp, rp)
     return Mesh(arr, ("dp", "rp"))
 
 
