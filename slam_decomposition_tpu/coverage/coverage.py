@@ -115,8 +115,17 @@ def monodromy_reps_float(matrices: np.ndarray) -> np.ndarray:
     single = arr.ndim == 2
     if single:
         arr = arr[None]
-    with jax.default_device(jax.devices("cpu")[0]):
-        reps = np.asarray(_MONODROMY_JIT(cplx.from_numpy(arr)))
+    # Scope the persistent compilation cache OFF for this CPU-pinned call:
+    # a cached XLA:CPU executable may have been compiled on a host with
+    # different machine features (bench runs flagged "could lead to
+    # SIGILL"). CPU compiles here are sub-second; always compile fresh.
+    old_cache = jax.config.jax_enable_compilation_cache
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+        with jax.default_device(jax.devices("cpu")[0]):
+            reps = np.asarray(_MONODROMY_JIT(cplx.from_numpy(arr)))
+    finally:
+        jax.config.update("jax_enable_compilation_cache", old_cache)
     return reps[0] if single else reps
 
 

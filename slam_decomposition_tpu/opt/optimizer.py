@@ -105,7 +105,7 @@ class TemplateOptimizer:
             from slam_decomposition_tpu.opt.preseed import PreseedStore
 
             self.preseed_store = PreseedStore.load(
-                preseed_key or f"preseed_{id(self.builder)}"
+                preseed_key or self._default_preseed_key()
             )
         self.training_loss: list = []  # per solve: final losses
         self.training_history: list = []  # per k: (B, R, iters) adam losses
@@ -113,6 +113,27 @@ class TemplateOptimizer:
         self._solver_cache: Dict[Tuple, Callable] = {}
 
     # ------------------------------------------------------------------
+
+    def _default_preseed_key(self) -> str:
+        """Content-stable store key, identical across processes: fingerprint
+        the built ansatz at the smallest spanning k by evaluating it at a
+        fixed probe parameter vector and hashing the 8-decimal-rounded
+        matrix (same spirit as the gate library's 8-decimal content hash;
+        the reference keys its pickle by the template's string repr,
+        basis_abc.py:24-39). ``id(...)``-based keys differ every run, which
+        silently made default-keyed preseeding load empty."""
+        import hashlib
+
+        k = min(self.spanning_range)
+        a = self.builder(k)
+        probe = np.linspace(0.1, 1.7, a.n_params)
+        re, im = a.eval_fn(jnp.asarray(probe, dtype=jnp.float64))
+        payload = (
+            np.round(np.asarray(re), 8).tobytes()
+            + np.round(np.asarray(im), 8).tobytes()
+            + f"{a.n_qubits}_{a.k}_{a.n_params}_{self.spanning_range}".encode()
+        )
+        return f"preseed_{hashlib.sha1(payload).hexdigest()[:16]}"
 
     def _make_solver(self, ansatz: Ansatz, batch: int, restarts: int):
         key = (id(ansatz.eval_fn), batch, restarts)

@@ -131,3 +131,52 @@ def test_preseeding_end_to_end(tmp_path, monkeypatch):
     assert ok.all()
     res2 = opt2.approximate_from_distribution(targets)
     assert res2.success.all()
+
+
+_PRESEED_CHILD = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from slam_decomposition_tpu.models import gates
+from slam_decomposition_tpu.models.templates import build_ansatz, cycle_gates
+from slam_decomposition_tpu.opt.optimizer import TemplateOptimizer
+from slam_decomposition_tpu.opt.samplers import haar_sample
+
+opt = TemplateOptimizer(
+    lambda k: build_ansatz(cycle_gates([gates.SQISWAP], k)),
+    spanning_range=[3], training_restarts=3, override_fail=True,
+    max_iters=200, preseed=True,  # NOTE: no explicit preseed_key
+)
+print("KEY", opt.preseed_store.key)
+print("LEN0", len(opt.preseed_store))
+if sys.argv[1] == "solve":
+    opt.approximate_from_distribution(haar_sample(2, seed=5))
+    print("LEN1", len(opt.preseed_store))
+"""
+
+
+def test_preseed_default_key_survives_restart(tmp_path):
+    """The DEFAULT store key must be derived from template content, not
+    object identity, so seeds saved in one process are found by the next
+    (reference keys the pickle by template repr, basis_abc.py:24-39).
+    Regression: an id()-based key made default preseeding a silent no-op."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["SLAM_DATA_DIR"] = str(tmp_path)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    run = lambda mode: subprocess.run(
+        [sys.executable, "-c", _PRESEED_CHILD, mode],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    out1 = run("solve")
+    out2 = run("load")
+    key1, len0_1, len1_1 = out1[1], int(out1[3]), int(out1[5])
+    key2, len0_2 = out2[1], int(out2[3])
+    assert key1 == key2  # content-derived, process-independent
+    assert len0_1 == 0 and len1_1 == 2
+    assert len0_2 == 2  # second process sees the first's solutions
