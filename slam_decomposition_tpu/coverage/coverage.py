@@ -260,31 +260,52 @@ def _covers_everything(poly: Polytope) -> bool:
 
 
 def _union_covers(chunk: ConvexPolytope, poly: Polytope) -> bool:
-    """Check chunk subseteq union(poly) by sampling + exact spot checks: a
-    chunk vertex/centroid outside every subpolytope disproves coverage; for
-    the full proof we rely on the Haar-volume saturation check in callers.
-    Here: dense rational grid over the chunk."""
-    pts = _grid_points(chunk, n=6)
-    return all(poly.contains(p, Fraction(1, 10**9)) for p in pts)
+    """EXACT check that chunk \\ union(poly) has measure zero, by convex
+    region subtraction over the exact-rational primitives in
+    coverage/polytope.py.
 
+    Semantics match the reference stack's volume-saturation completeness
+    criterion (monodromy's build_coverage_set stops when the union's volume
+    equals the alcove volume): lower-dimensional uncovered slivers do not
+    block completeness — membership of boundary targets is still decided by
+    the per-polytope `contains`, never by this check.
 
-def _grid_points(chunk: ConvexPolytope, n: int = 6):
-    verts = chunk.vertices()
-    if not verts:
-        return []
-    pts = list(verts)
-    k = len(verts)
-    rng = np.random.default_rng(0)
-    for _ in range(n * 10):
-        w = rng.dirichlet(np.ones(k))
-        w = [Fraction(float(x)).limit_denominator(100) for x in w]
-        s = sum(w)
-        w = [x / s for x in w]
-        pt = tuple(
-            sum(w[i] * verts[i][j] for i in range(k)) for j in range(3)
-        )
-        pts.append(pt)
-    return pts
+    Algorithm: maintain a worklist of convex remainder regions of the chunk;
+    subtracting a convex S = intersect_i {row_i >= 0} from region R yields
+    the union over i of R & {row_1>=0,...,row_{i-1}>=0, row_i <= 0}. Pieces
+    that reduce() to empty or to a lower-dimensional set (any equality in
+    the reduced form) are dropped. Covered iff the worklist empties.
+    """
+    from slam_decomposition_tpu.coverage.polytope import _convex_subset
+
+    regions = [chunk]
+    for sub in poly.convex_subpolytopes:
+        if sub.equalities:
+            # lower-dimensional subpolytope: measure-zero contribution
+            red = sub.reduce()
+            if red is None or red.equalities:
+                continue
+            sub = red
+        next_regions: List[ConvexPolytope] = []
+        for region in regions:
+            if _convex_subset(region, sub):
+                continue  # fully absorbed
+            prefix: List = []
+            for row in sub.inequalities:
+                neg = tuple(-c for c in row)
+                piece = ConvexPolytope(
+                    inequalities=region.inequalities + prefix + [neg],
+                    equalities=list(region.equalities),
+                    name=region.name,
+                )
+                red = piece.reduce()
+                if red is not None and not red.equalities:
+                    next_regions.append(red)
+                prefix.append(row)
+        regions = next_regions
+        if not regions:
+            return True
+    return not regions
 
 
 def monodromy_range_from_target(

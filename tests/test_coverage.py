@@ -91,3 +91,55 @@ def test_optimizer_agrees_with_monodromy(sqiswap_cov):
     res = opt.approximate_from_distribution(targets)
     assert res.success.all()
     np.testing.assert_array_equal(res.cycles, ks)
+
+
+def test_union_covers_exact_gap_detection():
+    """Region-subtraction completeness: a 0.5%-wide uncovered slab must be
+    detected (the old sampled check could silently miss it and cache a
+    truncated coverage set), while boundary-touching unions and
+    measure-zero gaps count as covered (volume-saturation semantics of the
+    reference stack's completeness criterion)."""
+    from fractions import Fraction as F
+
+    from slam_decomposition_tpu.coverage.coverage import _union_covers
+    from slam_decomposition_tpu.coverage.polytope import ConvexPolytope, Polytope
+
+    cube_rows = [
+        [0, 1, 0, 0], [1, -1, 0, 0],
+        [0, 0, 1, 0], [1, 0, -1, 0],
+        [0, 0, 0, 1], [1, 0, 0, -1],
+    ]
+    chunk = ConvexPolytope.make(ineqs=cube_rows, name="cube")
+
+    def slab(lo, hi):
+        return ConvexPolytope.make(
+            ineqs=cube_rows + [[-F(lo), 1, 0, 0], [F(hi), -1, 0, 0]],
+            name=f"x[{lo},{hi}]",
+        )
+
+    # gap (0.99, 0.995): NOT covered
+    assert not _union_covers(
+        chunk, Polytope([slab(0, F(99, 100)), slab(F(995, 1000), 1)])
+    )
+    # boundary-touching halves: covered
+    assert _union_covers(
+        chunk, Polytope([slab(0, F(99, 100)), slab(F(99, 100), 1)])
+    )
+    # overlapping cover: covered
+    assert _union_covers(
+        chunk, Polytope([slab(0, F(6, 10)), slab(F(4, 10), 1)])
+    )
+    # a lower-dimensional subpolytope contributes nothing
+    plane = ConvexPolytope.make(
+        ineqs=cube_rows, eqs=[[-F(995, 1000), 1, 0, 0]], name="plane"
+    )
+    assert not _union_covers(
+        chunk, Polytope([slab(0, F(99, 100)), plane])
+    )
+    # three-piece cover with an interior notch removed from the middle piece
+    notched = ConvexPolytope.make(
+        ineqs=cube_rows
+        + [[-F(3, 10), 1, 0, 0], [F(7, 10), -1, 0, 0], [F(1, 2), 0, -1, 0]],
+        name="mid-notched",
+    )
+    assert not _union_covers(chunk, Polytope([slab(0, F(3, 10)), notched, slab(F(7, 10), 1)]))
