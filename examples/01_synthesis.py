@@ -1,7 +1,7 @@
 """Batched variational synthesis — the reference's 4-object idiom
 (reference README.md:33-52) on a whole target distribution at once."""
 # Host-side analysis runs on CPU; set JAX_PLATFORMS=cpu to skip TPU init.
-import sys; sys.path.insert(0, "..")
+import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from slam_decomposition_tpu.models import gates
 from slam_decomposition_tpu.models.templates import build_ansatz, cycle_gates

@@ -1,5 +1,5 @@
 """Monodromy coverage: how many basis applications reach which targets."""
-import sys; sys.path.insert(0, "..")
+import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Host-side analysis runs on CPU; set JAX_PLATFORMS=cpu to skip TPU init.
 from slam_decomposition_tpu.models import gates
 from slam_decomposition_tpu.coverage.coverage import (

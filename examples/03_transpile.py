@@ -1,5 +1,5 @@
 """Speed-limit-aware transpilation of a benchmark circuit."""
-import sys; sys.path.insert(0, "..")
+import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Host-side analysis runs on CPU; set JAX_PLATFORMS=cpu to skip TPU init.
 from slam_decomposition_tpu.transpile import library
 from slam_decomposition_tpu.transpile.passes import (

@@ -1,5 +1,5 @@
 """Parallel-drive pulses: trajectories and solved ImprovedCX."""
-import sys; sys.path.insert(0, "..")
+import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Host-side analysis runs on CPU; set JAX_PLATFORMS=cpu to skip TPU init.
 import numpy as np
 from slam_decomposition_tpu.models.trajectory import (

@@ -49,8 +49,20 @@ def gate_duration(U, n_qubits=2):
     return mb["duration"], mo["duration"]
 
 
-def main(q=16, reps=3):
+def main(q=16, avg_reps=3, data_reps=10, haar_n=3000):
+    """Reference protocol (results/main.ipynb cells 1+8): route every
+    benchmark circuit onto the 4x4 grid (qiskit CouplingMap.from_grid
+    analog; native SABRE router), take the best duration over 10
+    route/instantiate repetitions, average over 3 such bests. Haar table
+    at N=3000 (cell 7). Durations are reported under BOTH this
+    framework's true critical-path metric and the reference's
+    longest-node-path metric ('ref_metric', speed_limit_pass.py:44-60)."""
+    from slam_decomposition_tpu.transpile.route import grid_coupling, route
+
     results = {}
+    rows = cols = int(np.sqrt(q))
+    assert rows * cols == q, "grid protocol expects a square qubit count"
+    edges = grid_coupling(rows, cols)
 
     # SWAP
     db, do = gate_duration(G.SWAP.to_numpy())
@@ -58,51 +70,64 @@ def main(q=16, reps=3):
     print(f"SWAP duration: basic {db:.3f} optimized {do:.3f} "
           f"(reference: 2.5 -> 2.25)")
 
-    # Haar average over N samples
+    # Haar average over N samples (reference cell 7: N=3000)
     from slam_decomposition_tpu.opt.samplers import haar_sample
 
-    N = 300
     t0 = time.time()
     basics, opts = [], []
-    for U in haar_sample(N, seed=0):
+    for U in haar_sample(haar_n, seed=0):
         b, o = gate_duration(U)
         basics.append(b)
         opts.append(o)
     results["haar_avg"] = {
         "basic": float(np.mean(basics)),
         "optimized": float(np.mean(opts)),
-        "n": N,
+        "n": haar_n,
     }
-    print(f"Haar-average 2Q duration (N={N}): basic {np.mean(basics):.4f} "
+    print(f"Haar-average 2Q duration (N={haar_n}): basic {np.mean(basics):.4f} "
           f"optimized {np.mean(opts):.4f} (reference: 1.9055 -> 1.7075) "
           f"[{time.time()-t0:.0f}s]")
 
-    # circuit suite
+    # circuit suite on the grid (reference cell 8 protocol)
     suite = {
-        "QV": lambda: library.qv(q, seed=1),
-        "VQE(Linear)": lambda: library.vqe_linear(q, seed=1),
-        "VQE(Full)": lambda: library.vqe_full(q, seed=1),
-        "QFT": lambda: library.qft(q),
+        "QV": lambda s: library.qv(q, seed=s),
+        "VQE(Linear)": lambda s: library.vqe_linear(q, seed=s),
+        "VQE(Full)": lambda s: library.vqe_full(q, seed=s),
+        "QFT": lambda s: library.qft(q),
     }
     for name, gen in suite.items():
         t0 = time.time()
-        best_b, best_o = np.inf, np.inf
-        for r in range(reps):
-            c = gen()
-            _, mb = pass_manager_basic(c, gate="sqiswap", duration_1q=DUR_1Q)
-            _, mo = pass_manager_optimized_sqiswap(c, duration_1q=DUR_1Q)
-            best_b = min(best_b, mb["duration"])
-            best_o = min(best_o, mo["duration"])
-        fb, fo = fidelity(best_b, q), fidelity(best_o, q)
+        bests_b, bests_o, bests_br, bests_or = [], [], [], []
+        for rep in range(avg_reps):
+            best_b = best_o = best_br = best_or = np.inf
+            for dr in range(data_reps):
+                seed = rep * data_reps + dr
+                c = route(gen(seed), edges, seed=seed, rows_cols=(rows, cols))
+                _, mb = pass_manager_basic(c, gate="sqiswap", duration_1q=DUR_1Q)
+                _, mo = pass_manager_optimized_sqiswap(c, duration_1q=DUR_1Q)
+                if mb["duration"] < best_b:
+                    best_b, best_br = mb["duration"], mb["duration_ref_metric"]
+                if mo["duration"] < best_o:
+                    best_o, best_or = mo["duration"], mo["duration_ref_metric"]
+            bests_b.append(best_b)
+            bests_o.append(best_o)
+            bests_br.append(best_br)
+            bests_or.append(best_or)
+        ab, ao = float(np.mean(bests_b)), float(np.mean(bests_o))
+        abr, aor = float(np.mean(bests_br)), float(np.mean(bests_or))
+        fb, fo = fidelity(ab, q), fidelity(ao, q)
         results[name] = {
-            "basic": best_b, "optimized": best_o,
+            "basic": ab, "optimized": ao,
+            "basic_err": float(np.std(bests_b)),
+            "optimized_err": float(np.std(bests_o)),
+            "basic_ref_metric": abr, "optimized_ref_metric": aor,
             "fid_basic": fb, "fid_opt": fo,
             "fid_gain_pct": 100 * (fo / fb - 1),
         }
-        print(f"{name}-{q}: basic {best_b:.2f} optimized {best_o:.2f} "
-              f"({100*(best_o/best_b-1):+.1f}%); total-fidelity "
-              f"{100*(fo/fb-1):+.1f}% [{time.time()-t0:.0f}s]")
-        assert best_b >= best_o - 1e-9, "optimized must not be worse"
+        print(f"{name}-{q}: basic {ab:.2f} optimized {ao:.2f} "
+              f"({100*(ao/ab-1):+.1f}%); ref-metric {abr:.2f} -> {aor:.2f}; "
+              f"total-fidelity {100*(fo/fb-1):+.1f}% [{time.time()-t0:.0f}s]")
+        assert ab >= ao - 1e-9, "optimized must not be worse"
 
     with open("headline_results.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -2,8 +2,15 @@
 
 Role of qiskit's TwoQubitBasisDecomposer fallback in the reference
 (weyl_decompose.py:480). Counts: 0 for local, 1 for the CX class, 2 for
-c3 = 0 classes, 3 otherwise. Middle-layer angles are solved by the same
-Makhlin-Newton technique as the sqiswap path (transpile/kak.py).
+c3 = 0 classes, 3 otherwise. Middle-layer angles are CLOSED FORM (linear
+in the canonical coordinates, Vatan-Williams style; verified exact):
+
+  2-CX:  CX (Rx(2x) ox Rz(2y)) CX           ~ CAN(x, y, 0)
+  3-CX:  CXR (Rz(2x+pi/2) ox Ry(2y+pi/2)) CX (I ox Ry(2z+pi/2)) CXR
+                                             ~ CAN(x, y, z)
+
+The outer locals are recovered by re-KAK of the middle sandwich, so only
+class equality is needed from the closed forms.
 """
 
 from __future__ import annotations
@@ -12,11 +19,8 @@ import numpy as np
 
 from slam_decomposition_tpu.transpile.kak import (
     PI4,
-    _makhlin,
     _rz,
     _rx,
-    can_matrix,
-    decompose_product_gate,
     kak_form,
 )
 
@@ -31,28 +35,6 @@ _CXR = np.array(
 def _ry(t):
     c, s = np.cos(t / 2), np.sin(t / 2)
     return np.array([[c, -s], [s, c]])
-
-
-def _solve_middle(make, n_angles, target_t, seed=0):
-    from scipy.optimize import least_squares
-
-    target = _makhlin(can_matrix(*target_t))
-
-    def resid(p):
-        return _makhlin(make(p)) - target
-
-    rng = np.random.default_rng(seed)
-    best = None
-    for trial in range(40):
-        x0 = rng.uniform(0, np.pi, n_angles)
-        sol = least_squares(resid, x0, xtol=1e-15, ftol=1e-15, gtol=1e-15)
-        if best is None or sol.cost < best.cost:
-            best = sol
-        if best.cost < 1e-24:
-            break
-    if best.cost > 1e-16:
-        raise RuntimeError(f"cx middle-layer solve failed for {target_t}")
-    return best.x
 
 
 def cx_decompose(U: np.ndarray):
@@ -79,35 +61,23 @@ def cx_decompose(U: np.ndarray):
         V = (_CX, [("cx", None)])
         return _merge(finish(V)), 1
     if abs(t[2]) < 1e-9:
-        # full middle 1Q layer (2 angles cannot span the whole c3=0 sheet)
-        def mid2(p):
-            return (_rz(p[0]) @ _ry(p[1]) @ _rz(p[2]), _rz(p[3]) @ _ry(p[4]) @ _rz(p[5]))
-
-        def make2(p):
-            l, r = mid2(p)
-            return _CX @ np.kron(l, r) @ _CX
-
-        p = _solve_middle(make2, 6, t)
+        # closed form: CX (Rx(2x) ox Rz(2y)) CX ~ CAN(x, y, 0)
+        mid = (_rx(2 * t[0]), _rz(2 * t[1]))
         V = (
-            make2(p),
-            [("cx", None), ("1q", mid2(p)), ("cx", None)],
+            _CX @ np.kron(*mid) @ _CX,
+            [("cx", None), ("1q", mid), ("cx", None)],
         )
         return _merge(finish(V)), 2
 
-    # Vatan-Williams alternating-direction sandwich:
-    # CX(1->0) (Rz ox Ry) CX(0->1) (I ox Ry) CX(1->0)
-    def make3(p):
-        return (
-            _CXR
-            @ np.kron(_rz(p[0]), _ry(p[1]))
-            @ _CX
-            @ np.kron(np.eye(2), _ry(p[2]))
-            @ _CXR
-        )
-
-    p = _solve_middle(make3, 3, t)
+    # Vatan-Williams alternating-direction sandwich, closed form:
+    # CX(1->0) (Rz(2x+pi/2) ox Ry(2y+pi/2)) CX(0->1) (I ox Ry(2z+pi/2)) CX(1->0)
+    p = 2.0 * np.asarray(t, dtype=float) + np.pi / 2
     V = (
-        make3(p),
+        _CXR
+        @ np.kron(_rz(p[0]), _ry(p[1]))
+        @ _CX
+        @ np.kron(np.eye(2), _ry(p[2]))
+        @ _CXR,
         [
             ("cxr", None),
             ("1q", (np.eye(2), _ry(p[2]))),

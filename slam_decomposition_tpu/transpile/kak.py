@@ -259,26 +259,155 @@ def _makhlin(U: np.ndarray):
     return np.array([g12.real, g12.imag, g3.real])
 
 
-def _seed_angles(x, y, z):
-    """Huang-et-al-style closed-form seed (arXiv:2105.06074 eq. 7 shape;
-    reference weyl_decompose.py:389-410). Used only to initialize the exact
-    Newton solve below — the transcribed closed form alone does not
-    reproduce targets in this convention."""
-    Cv = (
-        np.sin(x + y - z) * np.sin(x - y + z) * np.sin(-x - y - z) * np.sin(-x + y + z)
+def _interleave_candidates(x, y, z):
+    """Closed-form (alpha, beta, gamma) candidates for the interleaving
+    solve — derived from first principles in THIS framework's conventions
+    (see interleaving_rotations).
+
+    With u = cos(alpha), v = cos(beta), s2 = sin^2(gamma),
+    p = (1+u)(1+v), q = (1-u)(1-v), the invariant match reduces to
+
+        (I)   s2 * p               = 4 K1,   K1 = cos2x cos2y cos2z
+        (II)  q * (p - 4 K1)       = 4 K2^2, K2 = sin2x sin2y sin2z
+        (III) (s2 p)^2 + 4 s2 p (Pr - S) + 2 S^2 - 4 Pr^2 = 4 K3,
+              K3 = cos4x cos4y cos4z,  S = u+v,  Pr = u v
+
+    and eliminating p via (II) turns (III) into the quartic
+
+        q^4/4 - 2(K1+1) q^3 + (2 + 2K3 + 6K2^2 - 4K1^2) q^2
+            + 8 K2^2 (K1 - 1) q + 4 K2^4 = 0.
+
+    sign(cos gamma) = sign(z). The z = 0 boundary degenerates (q -> 0) and
+    has two analytic branches: alpha = 0 (interior) with
+    v = 1 - sqrt(2 - 2K3 + 8K1^2 - 8K1), and beta = pi (x = pi/4 wall,
+    where gamma drops out of all invariants) with u = -1 + sqrt(2 - 2K3).
+    """
+    ld = np.longdouble
+    x, y, z = ld(x), ld(y), ld(z)
+    K1 = float(np.cos(2 * x) * np.cos(2 * y) * np.cos(2 * z))
+    K2 = float(np.sin(2 * x) * np.sin(2 * y) * np.sin(2 * z))
+    K3 = float(np.cos(4 * x) * np.cos(4 * y) * np.cos(4 * z))
+    cands = []
+
+    def push(u, v, s2, sgn):
+        # generous bounds: values are clamped below and candidates are
+        # screened by exact invariant residual afterwards, so rounding that
+        # nudges a boundary solution marginally out of range must not
+        # discard it (seen: s2 = 1 + 2e-9 at near-identity z = 0)
+        if not (-1 - 1e-6 <= u <= 1 + 1e-6 and -1 - 1e-6 <= v <= 1 + 1e-6):
+            return
+        if not (-1e-6 <= s2 <= 1 + 1e-6):
+            return
+        a = float(np.arccos(np.clip(u, -1, 1)))
+        b = float(np.arccos(np.clip(v, -1, 1)))
+        s2c = float(np.clip(s2, 0, 1))
+        g = float(np.arctan2(np.sqrt(s2c), sgn * np.sqrt(1 - s2c)))
+        cands.append((a, b, g))
+        cands.append((b, a, g))
+
+    # --- z = 0 boundary branches (K2 == 0 exactly or numerically)
+    if abs(K2) < 1e-14:
+        # branch alpha = 0: the discriminant 2 - 2K3 + 8K1^2 - 8K1 factors
+        # exactly as 16 (cos^2 x - cos^2 y)^2, so cos(beta) is computed
+        # with NO cancellation (naive evaluation loses ~8 digits at the
+        # near-identity targets produced by QFT's smallest controlled
+        # phases, pi/2^15):
+        v = float(1 - 2 * abs(np.cos(2 * x) - np.cos(2 * y)))
+        if 1 + v > 1e-12:
+            push(1.0, v, 2 * K1 / (1 + v), 1.0)
+        # branch beta = pi (x = pi/4 wall; gamma drops out of all
+        # invariants there). 1 - K3 via the telescoped stable form.
+        one_m_K3 = float(
+            2 * np.sin(2 * x) ** 2
+            + np.cos(4 * x) * 2 * np.sin(2 * y) ** 2
+            + np.cos(4 * x) * np.cos(4 * y) * 2 * np.sin(2 * z) ** 2
+        )
+        u = -1 + np.sqrt(max(2 * one_m_K3, 0.0))
+        push(u, -1.0, 0.0, 1.0)
+        return cands
+
+    # --- general path: quartic in q (longdouble Ferrari via companion +
+    # two Newton polish steps per root)
+    coeffs = np.array(
+        [
+            0.25,
+            -2 * (K1 + 1),
+            2 + 2 * K3 + 6 * K2 * K2 - 4 * K1 * K1,
+            8 * K2 * K2 * (K1 - 1),
+            4 * K2 ** 4,
+        ],
+        dtype=np.longdouble,
     )
-    Cv = max(Cv, 0.0)
-    alpha = np.arccos(
-        np.clip(np.cos(2 * x) - np.cos(2 * y) + np.cos(2 * z) + 2 * np.sqrt(Cv), -1, 1)
-    )
-    beta = np.arccos(
-        np.clip(np.cos(2 * x) - np.cos(2 * y) + np.cos(2 * z) - 2 * np.sqrt(Cv), -1, 1)
-    )
-    num = 4 * (np.cos(x) ** 2) * (np.cos(z) ** 2) * (np.cos(y) ** 2)
-    den = num + np.cos(2 * x) + np.cos(2 * y) * np.cos(2 * z)
-    sz = np.sign(z) if z != 0 else 1.0
-    gamma = np.arccos(np.clip(sz * np.sqrt(abs(num / den)) if den != 0 else 0.0, -1, 1))
-    return alpha, beta, gamma
+    roots = np.roots(coeffs.astype(float))
+    dcoeffs = coeffs[:-1] * np.array([4, 3, 2, 1], dtype=np.longdouble)
+    sgn = 1.0 if z > 0 else -1.0
+    for r in roots:
+        # on the region boundary |z| = x - y the physical root is a double
+        # root; np.roots then returns a conjugate pair with O(1e-8) imag.
+        # Accept generously and let the 80-bit Newton polish land it.
+        if abs(r.imag) > 1e-4 * max(1.0, abs(r.real)):
+            continue
+        q = ld(r.real)
+        best_q, best_f = q, abs(np.polyval(coeffs, q))
+        for _ in range(3):  # Newton polish in 80-bit (guarded: double
+            # roots have f' -> 0 and an unguarded step diverges)
+            df = np.polyval(dcoeffs, q)
+            if df == 0:
+                break
+            q = q - np.polyval(coeffs, q) / df
+            f = abs(np.polyval(coeffs, q))
+            if f < best_f:
+                best_q, best_f = q, f
+            else:
+                break
+        q = float(best_q)
+        if not (1e-18 < q <= 4 + 1e-6):
+            continue
+        p = 4 * K1 + 4 * K2 * K2 / q
+        if not (1e-18 < p <= 4 + 1e-6):
+            continue
+        S = (p - q) / 2.0
+        Pr = (p + q) / 2.0 - 1.0
+        disc = S * S / 4.0 - Pr
+        if disc < -1e-6:  # boundary double roots give u == v, disc -> 0^-
+            continue
+        rr = np.sqrt(max(disc, 0.0))
+        push(S / 2 + rr, S / 2 - rr, 4 * K1 / p, sgn)
+    return cands
+
+
+def _polish_angles(angles, target, make, iters: int = 8):
+    """Deterministic damped Gauss-Newton on the 3 Makhlin-invariant
+    residuals (central-difference Jacobian, pure numpy) — cleans up the
+    clamping noise of degenerate closed-form roots; seeded at the closed
+    form, so convergence is quadratic and there is no multi-start."""
+    p = np.array(angles, dtype=float)
+    resid = lambda a: _makhlin(make(*a)) - target
+    best_p, best_r = p.copy(), float(np.abs(resid(p)).max())
+    h = 1e-7
+    for _ in range(iters):
+        if best_r < 1e-15:
+            break
+        r0 = resid(p)
+        J = np.empty((3, 3))
+        for j in range(3):
+            dp = np.zeros(3)
+            dp[j] = h
+            J[:, j] = (resid(p + dp) - resid(p - dp)) / (2 * h)
+        try:
+            step = np.linalg.lstsq(J, -r0, rcond=None)[0]
+        except np.linalg.LinAlgError:
+            break
+        for damp in (1.0, 0.5, 0.25, 0.1):
+            cand = p + damp * step
+            rc = float(np.abs(resid(cand)).max())
+            if rc < best_r:
+                best_p, best_r = cand.copy(), rc
+                p = cand
+                break
+        else:
+            break
+    return best_p, best_r
 
 
 def interleaving_rotations(x, y, z):
@@ -286,38 +415,37 @@ def interleaving_rotations(x, y, z):
     CAN(x,y,z), for (x,y,z) in the 2-application region |z| <= x - y.
 
     The 1Q ansatz C1 = Rz(g) Rx(a) Rz(g), C2 = Rx(b) is Huang et al.'s
-    (arXiv:2105.06074); the three angles are solved exactly by matching
-    Makhlin invariants (3 smooth equations in 3 unknowns, damped Newton
-    with multi-start) — immune to the formula-convention pitfalls of the
-    reference transcription (weyl_decompose.py:389-410).
+    (arXiv:2105.06074; reference transcription weyl_decompose.py:389-410,
+    whose published formulas do NOT transcribe into this convention). The
+    angles here are CLOSED FORM, derived from scratch: in the magic basis
+    only the central 2x2 block of the SO(4) image of C1 ox C2 enters
+    tr(m), giving three polynomial invariant equations whose resultant is
+    a quartic (see _interleave_candidates). Candidate roots are screened
+    by exact Makhlin-invariant residual; no iterative optimizer, no
+    randomness.
     """
     target = _makhlin(can_matrix(x, y, z))
 
-    def make(p):
-        a, b, g = p
+    def make(a, b, g):
         return SQISWAP_M @ np.kron(_rz(g) @ _rx(a) @ _rz(g), _rx(b)) @ SQISWAP_M
 
-    def resid(p):
-        return _makhlin(make(p)) - target
-
-    from scipy.optimize import least_squares
-
-    seeds = [np.array(_seed_angles(x, y, z))]
-    rng = np.random.default_rng(12345)
-    for _ in range(24):
-        seeds.append(rng.uniform(0, PI, 3))
     best = None
-    for s in seeds:
-        sol = least_squares(resid, s, xtol=1e-15, ftol=1e-15, gtol=1e-15)
-        if best is None or sol.cost < best.cost:
-            best = sol
-        if best.cost < 1e-24:
-            break
-    if best.cost > 1e-16:
+    for a, b, g in _interleave_candidates(x, y, z):
+        res = float(np.abs(_makhlin(make(a, b, g)) - target).max())
+        if best is None or res < best[0]:
+            best = (res, (a, b, g))
+    if best is None:
+        raise RuntimeError(f"interleaving closed form failed for t=({x},{y},{z})")
+    if best[0] > 1e-15:
+        angles, res = _polish_angles(best[1], target, make)
+        if res < best[0]:
+            best = (res, tuple(angles))
+    if best[0] > 1e-11:
         raise RuntimeError(
-            f"interleaving solve failed for t=({x},{y},{z}): cost {best.cost}"
+            f"interleaving closed form failed for t=({x},{y},{z}): "
+            f"residual {best[0]}"
         )
-    a, b, g = best.x
+    a, b, g = best[1]
     return _rz(g) @ _rx(a) @ _rz(g), _rx(b)
 
 
@@ -426,9 +554,7 @@ def sqiswap_decompose(U: np.ndarray):
     # Makhlin -> coordinate sensitivity blows up)
     V = steps_to_matrix(steps)
     infid = 1 - abs(np.trace(V.conj().T @ U)) / 4
-    # near-identity classes have a flat invariant landscape; a 1e-8-level
-    # residual there is still far beyond hardware-relevant fidelity
-    if infid > 1e-7:
+    if infid > 1e-10:
         raise RuntimeError(f"sqiswap synthesis infidelity {infid:.2e} for t={t}")
     return steps, n
 

@@ -45,8 +45,10 @@ def vqe_linear(q: int, reps: int = 2, seed=None) -> Circuit:
     return c
 
 
-def vqe_full(q: int, reps: int = 1, seed=None) -> Circuit:
-    """EfficientSU2 with all-to-all entanglement (circuit_suite.py:26-33)."""
+def vqe_full(q: int, reps: int = 3, seed=None) -> Circuit:
+    """EfficientSU2 with all-to-all entanglement (circuit_suite.py:26-33;
+    reps defaults to 3 = qiskit EfficientSU2's default, which the reference
+    implicitly used by not passing reps)."""
     rng = np.random.default_rng(seed)
     c = Circuit(q)
     _su2_layer(c, q, rng)

@@ -60,6 +60,11 @@ def duration_analysis(circ: Circuit, duration_1q: float = 0.0) -> Dict:
     mismatch the reference itself flags at :44)."""
     finish = [0.0] * circ.n_qubits
     counts: Dict[str, int] = {}
+    # reference-metric DP: longest path by NODE COUNT through the per-qubit
+    # dependency DAG, then sum of durations along that path (ties broken
+    # toward larger duration for determinism)
+    plen = [0] * circ.n_qubits  # longest node-count path ending at qubit q
+    pdur = [0.0] * circ.n_qubits
     for op in circ.ops:
         if op.duration is not None:
             d = op.duration
@@ -72,9 +77,19 @@ def duration_analysis(circ: Circuit, duration_1q: float = 0.0) -> Dict:
         start = max(finish[q] for q in op.qubits)
         for q in op.qubits:
             finish[q] = start + d
+        best = max((plen[q], pdur[q]) for q in op.qubits)
+        for q in op.qubits:
+            plen[q] = best[0] + 1
+            pdur[q] = best[1] + d
         counts[op.name] = counts.get(op.name, 0) + 1
     return {
         "duration": max(finish) if finish else 0.0,
+        # the reference's property_set["duration"]: durations summed along
+        # dag.longest_path(), which is the node-count-longest path — NOT the
+        # true duration-critical path (its own FIXME, speed_limit_pass.py:44)
+        "duration_ref_metric": (
+            max(zip(plen, pdur))[1] if circ.n_qubits else 0.0
+        ),
         "gate_counts": counts,
         "depth": circ.depth(),
     }
