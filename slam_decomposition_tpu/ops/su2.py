@@ -76,3 +76,25 @@ def ry(theta) -> cplx.CMat:
         [jnp.stack([z, z], axis=-1), jnp.stack([z, z], axis=-1)], axis=-2
     )
     return (re, im)
+
+
+def u3_angles(W) -> tuple:
+    """(theta, phi, lam) with u3(theta, phi, lam) == W up to global phase,
+    for any 2x2 unitary W. Host-side numpy (inverse of u3 for circuit
+    parameter extraction)."""
+    import numpy as _np
+
+    W = _np.asarray(W, dtype=complex)
+    a, b = W[0, 0], W[0, 1]
+    c, d = W[1, 0], W[1, 1]
+    theta = 2.0 * _np.arctan2(_np.abs(c), _np.abs(a))
+    if _np.abs(a) > 1e-12 and _np.abs(c) > 1e-12:
+        phi = _np.angle(c) - _np.angle(a)
+        lam = _np.angle(-b) - _np.angle(a)
+    elif _np.abs(a) <= 1e-12:  # theta = pi: only phi + lam matters... phi - lam
+        phi = _np.angle(c) - _np.angle(-b)
+        lam = 0.0
+    else:  # theta = 0: only phi + lam matters
+        phi = _np.angle(d) - _np.angle(a)
+        lam = 0.0
+    return float(theta), float(phi), float(lam)

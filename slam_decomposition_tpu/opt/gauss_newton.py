@@ -242,5 +242,16 @@ def make_solver(
         bf = jax.vmap(cost64)(xs, tgt)
         return xs, bf, hist, lm_hist
 
+    def polish(x0s_flat, tgt, iters=None):
+        """f64 LM only, from an already-good seed: (B, n) x pair(B,4,4) ->
+        (B, n). No Adam phase (which would destroy a near-converged
+        seed)."""
+        return jax.lax.map(
+            lambda a: lm_one(a[0], (a[1], a[2]), iters=iters),
+            (x0s_flat, tgt[0], tgt[1]),
+            batch_size=1024,
+        )
+
     solve.with_history = solve_with_history
+    solve.polish = polish
     return solve

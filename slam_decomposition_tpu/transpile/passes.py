@@ -127,6 +127,97 @@ def _random_1q_layer(sub: Circuit, rng, duration_1q):
         )
 
 
+def fit_substituted_1q(
+    blocks,
+    subs: Dict[int, "Circuit"],
+    duration_1q: float = 0.0,
+    threshold: float = 1e-10,
+    restarts: int = 8,
+    seed: int = 0,
+) -> Dict[int, "Circuit"]:
+    """Replace the random 1Q placeholders in substitution circuits with
+    VARIATIONALLY FITTED u3 layers so each substituted block's unitary
+    equals the original block's (up to global phase).
+
+    The reference punts on this (random placeholders forever,
+    speed_limit_pass.py:311-313); here the batched synthesis engine fits
+    ALL blocks sharing a 2Q-gate structure in ONE device launch: group by
+    the sequence of 2Q matrices, build the matching ansatz, run the
+    scan-based multi-start solver on the whole group.
+
+    Substitutions whose structure is not an alternating 1q/2q chain (e.g.
+    family-extension duration dummies) are returned unchanged.
+    """
+    import jax.numpy as jnp
+
+    from slam_decomposition_tpu.models import gates as GG
+    from slam_decomposition_tpu.models.templates import build_ansatz
+    from slam_decomposition_tpu.opt.gauss_newton import make_solver
+    from slam_decomposition_tpu.ops import cplx
+
+    # group fit-able substitutions by their 2Q matrix sequence
+    groups: Dict[Tuple, List[int]] = {}
+    seqs: Dict[int, List] = {}
+    for i, sub in subs.items():
+        two_q = [op for op in sub.ops if op.n_qubits == 2]
+        if not two_q or any(op.matrix is None for op in two_q):
+            continue  # dummy / empty: leave as-is
+        key = tuple(
+            (op.name, op.matrix.tobytes()) for op in two_q
+        )
+        groups.setdefault(key, []).append(i)
+        seqs[i] = two_q
+    out = dict(subs)
+    rng = np.random.default_rng(seed)
+    for key, idxs in groups.items():
+        two_q = seqs[idxs[0]]
+        gate_seq = [
+            GG.custom_cost_gate(op.matrix, name=op.name, duration=op.duration or 1.0)
+            for op in two_q
+        ]
+        ansatz = build_ansatz(gate_seq)
+        import jax
+
+        solve = jax.jit(make_solver(ansatz.eval_fn, ansatz.n_params))
+        B, R = len(idxs), restarts
+        tgts = cplx.from_numpy(np.stack([blocks[i].unitary for i in idxs]))
+        x0s = jnp.asarray(
+            rng.uniform(0, 2 * np.pi, (B, R, ansatz.n_params))
+        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            xs, fs = solve(x0s, tgts)
+        xs, fs = np.asarray(xs), np.asarray(fs)
+        bad = fs > threshold
+        if bad.any():
+            logger.warning(
+                "fit_substituted_1q: %d/%d blocks above threshold (worst "
+                "%.2e); placeholders kept there", int(bad.sum()), B, fs.max()
+            )
+        layer_p = 6  # 2 qubits x u3
+        for j, i in enumerate(idxs):
+            if bad[j]:
+                continue
+            x = xs[j]
+            new = Circuit(2)
+            for layer in range(len(gate_seq) + 1):
+                p = x[layer * layer_p : (layer + 1) * layer_p]
+                for q in (0, 1):
+                    new.append(
+                        "u", (q,), params=tuple(p[q * 3 : (q + 1) * 3]),
+                        duration=duration_1q,
+                    )
+                if layer < len(gate_seq):
+                    op = two_q[layer]
+                    new.append(op.name, (0, 1), matrix=op.matrix,
+                               duration=op.duration)
+            out[i] = new
+        logger.info(
+            "fit_substituted_1q: fitted %d blocks (structure %s, worst "
+            "loss %.2e)", int((~bad).sum()), [n for n, _ in key], fs.max(),
+        )
+    return out
+
+
 def optimize_1q_gates(circ: Circuit) -> Circuit:
     """Merge consecutive 1Q ops on the same qubit into one op (the
     Optimize1qGates role, speed_limit_pass.py:492/526/549 — without it the
@@ -170,6 +261,7 @@ def speed_gate_substitute(
     family_extension: bool = False,
     coupling_edges: Optional[List[Tuple[int, int]]] = None,
     seed: int = 0,
+    fit_1q: bool = False,
 ) -> Circuit:
     """SpeedGateSubstitute (speed_limit_pass.py:104-314): pick winner
     gate(s) from the candidate DB, replace every 2Q block with the winner
@@ -246,7 +338,234 @@ def speed_gate_substitute(
     else:
         raise ValueError(f"unknown strategy {strategy}")
 
+    if fit_1q:
+        subs = fit_substituted_1q(blocks, subs, duration_1q=duration_1q)
     return _blocks_to_circuit(circ, subs)
+
+
+def fit_substituted_pd(
+    blocks,
+    subs: Dict[int, "Circuit"],
+    plans: Dict[int, List[float]],
+    duration_1q: float = 0.0,
+    gc: float = np.pi / 2,
+    n_slices: int = 4,
+    threshold: float = 1e-9,
+    restarts: int = 16,
+    seed: int = 0,
+) -> Dict[int, "Circuit"]:
+    """Fidelity-faithful parallel-drive substitution: for each block, fit
+    the ACTUAL smush pulses (piecewise-constant 1Q drives riding the
+    iSwap-strength coupler, models/trajectory.py) plus exterior u3 layers
+    so the substituted block equals the original unitary up to phase.
+
+    ``plans[i]`` lists the pulse times (iSwap-generating units) claimed by
+    optimized_sqiswap_sub for block i. Blocks are batched by pulse count
+    (one device launch per group); the per-lane pulse times ride in frozen
+    stop-gradient parameter slots. The reference has no counterpart — its
+    substitutions keep random placeholders AND placeholder matrices
+    (speed_limit_pass.py:311-313); its hardcoded ImprovedCX pulse
+    (pd_playground.py:247-286) is the m=1 special case."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_decomposition_tpu.models import hamiltonians as ham
+    from slam_decomposition_tpu.opt.gauss_newton import make_solver
+    from slam_decomposition_tpu.ops import cplx, su2
+
+    from slam_decomposition_tpu.transpile.kak import kak_form
+
+    out = dict(subs)
+    rng = np.random.default_rng(seed)
+    per_pulse = 2 + 2 * n_slices
+
+    def zero_pulse(t):
+        zero = np.zeros(n_slices)
+        return cplx.to_numpy(ham.smush_u(0.0, 0.0, gc, 0.0, zero, zero, t=t))
+
+    # --- exact path: a single zero-drive pulse whose canonical class
+    # already equals the block's needs NO optimizer — the sandwich locals
+    # follow from two KAK forms (controlled-family blocks land here).
+    groups: Dict[int, List[int]] = {}
+    for i in plans:
+        if len(plans[i]) == 1:
+            P0 = zero_pulse(plans[i][0])
+            bf = kak_form(blocks[i].unitary)
+            pf = kak_form(P0)
+            if np.abs(bf.t - pf.t).max() < 1e-12:
+                A2 = bf.l1 @ pf.l1.conj().T
+                B2 = bf.r1 @ pf.r1.conj().T
+                A1 = pf.l2.conj().T @ bf.l2
+                B1 = pf.r2.conj().T @ bf.r2
+                old2q = [op for op in subs[i].ops if op.n_qubits == 2]
+                new_c = Circuit(2)
+                new_c.unitary(A1, (0,), name="u1q", duration=duration_1q)
+                new_c.unitary(B1, (1,), name="u1q", duration=duration_1q)
+                new_c.append("pd_pulse", (0, 1), matrix=P0,
+                             duration=old2q[0].duration if old2q else None)
+                new_c.unitary(A2, (0,), name="u1q", duration=duration_1q)
+                new_c.unitary(B2, (1,), name="u1q", duration=duration_1q)
+                out[i] = new_c
+                continue
+        groups.setdefault(len(plans[i]), []).append(i)
+    for m, idxs in sorted(groups.items()):
+        if m == 0:
+            continue
+        # --- stage 1: CLASS fit of the drive core (Makhlin residual, no
+        # outer layers — a far better-conditioned landscape than the full
+        # 1q-sandwich fit), batched over all blocks with m pulses.
+        n_params = m + m * per_pulse + max(m - 1, 0) * 6
+
+        def core_fn(x, m=m):
+            # layout: [t_1..t_m (frozen), pulses (m x per_pulse),
+            #          middle 1q layers ((m-1) x 6)]
+            import jax as _jax
+
+            ts = _jax.lax.stop_gradient(x[:m])
+            off = m
+
+            def pulse(j):
+                pp = x[off + j * per_pulse : off + (j + 1) * per_pulse]
+                return ham.smush_u(
+                    pp[0], pp[1], gc, 0.0, pp[2 : 2 + n_slices],
+                    pp[2 + n_slices : 2 + 2 * n_slices], t=ts[j],
+                )
+
+            U = pulse(0)
+            for j in range(1, m):
+                lo = m + m * per_pulse + (j - 1) * 6
+                p = x[lo : lo + 6]
+                L = cplx.kron(su2.u3(p[0], p[1], p[2]), su2.u3(p[3], p[4], p[5]))
+                U = cplx.matmul(pulse(j), cplx.matmul(L, U))
+            return U
+
+        from slam_decomposition_tpu.opt import costs as _costs
+
+        solve = jax.jit(make_solver(
+            core_fn, n_params, adam_iters=400, lm32_iters=16, lm_iters=16,
+            residual="makhlin", final_cost_fn=_costs.makhlin_functional_cost,
+        ))
+        B, R = len(idxs), restarts
+        tgts = cplx.from_numpy(np.stack([blocks[i].unitary for i in idxs]))
+        x0 = rng.uniform(-2 * np.pi, 2 * np.pi, (B, R, n_params))
+        for j, i in enumerate(idxs):
+            x0[j, :, :m] = plans[i]
+        with jax.default_device(jax.devices("cpu")[0]):
+            xs, fs = solve(jnp.asarray(x0), tgts)
+        xs, fs = np.asarray(xs), np.asarray(fs)
+        # --- stage 2: exact outer locals by KAK sandwich of the fitted
+        # core, giving a near-converged FULL parameterization...
+        n_core = n_params
+
+        def full_fn(x, m=m):
+            U = core_fn(x[:n_core])
+            p = x[n_core : n_core + 6]
+            L1 = cplx.kron(su2.u3(p[0], p[1], p[2]), su2.u3(p[3], p[4], p[5]))
+            p = x[n_core + 6 : n_core + 12]
+            L2 = cplx.kron(su2.u3(p[0], p[1], p[2]), su2.u3(p[3], p[4], p[5]))
+            return cplx.matmul(L2, cplx.matmul(U, L1))
+
+        full_solver = make_solver(full_fn, n_core + 12)
+        # two polish rounds: each lm_one starts at lam=1e-3, so a second
+        # call with a fresh damping schedule contracts past plateaus
+        polish = jax.jit(
+            lambda xf, tg: full_solver.polish(
+                full_solver.polish(xf, tg, iters=12), tg, iters=12
+            )
+        )
+        x_full = np.zeros((B, n_core + 12))
+        for j, i in enumerate(idxs):
+            x = xs[j]
+            core = cplx.to_numpy(core_fn(jnp.asarray(x)))
+            bf = kak_form(blocks[i].unitary)
+            pf = kak_form(core)
+            A2 = bf.l1 @ pf.l1.conj().T
+            B2 = bf.r1 @ pf.r1.conj().T
+            A1 = pf.l2.conj().T @ bf.l2
+            B1 = pf.r2.conj().T @ bf.r2
+            x_full[j, :n_core] = x
+            x_full[j, n_core : n_core + 3] = su2.u3_angles(A1)
+            x_full[j, n_core + 3 : n_core + 6] = su2.u3_angles(B1)
+            x_full[j, n_core + 6 : n_core + 9] = su2.u3_angles(A2)
+            x_full[j, n_core + 9 : n_core + 12] = su2.u3_angles(B2)
+        # --- stage 3: ...which a short f64 LM (phase residual) contracts
+        # quadratically to certification depth.
+        with jax.default_device(jax.devices("cpu")[0]):
+            x_pol = np.array(polish(jnp.asarray(x_full), tgts))
+        # rescue: lanes still failing get one direct full-parameter solve
+        # (phase residual, fresh restarts) — best of the two results wins
+        infids = []
+        for j, i in enumerate(idxs):
+            V = cplx.to_numpy(full_fn(jnp.asarray(x_pol[j])))
+            infids.append(1 - abs(np.trace(V.conj().T @ blocks[i].unitary)) / 4)
+        fail = [j for j in range(B) if infids[j] > threshold]
+        if fail:
+            rescue = jax.jit(make_solver(
+                full_fn, n_core + 12, adam_iters=600, lm32_iters=16,
+                lm_iters=16,
+            ))
+            rt = cplx.from_numpy(
+                np.stack([blocks[idxs[j]].unitary for j in fail])
+            )
+            rx0 = rng.uniform(-2 * np.pi, 2 * np.pi,
+                              (len(fail), restarts, n_core + 12))
+            for jj, j in enumerate(fail):
+                rx0[jj, :, :m] = plans[idxs[j]]
+                rx0[jj, 0] = x_pol[j]  # restart 0: the polished seed
+            with jax.default_device(jax.devices("cpu")[0]):
+                rxs, rfs = rescue(jnp.asarray(rx0), rt)
+            rxs = np.asarray(rxs)
+            for jj, j in enumerate(fail):
+                V = cplx.to_numpy(full_fn(jnp.asarray(rxs[jj])))
+                infid = 1 - abs(np.trace(V.conj().T @ blocks[idxs[j]].unitary)) / 4
+                if infid < infids[j]:
+                    x_pol[j] = rxs[jj]
+                    infids[j] = infid
+        n_ok = 0
+        worst = 0.0
+        for j, i in enumerate(idxs):
+            x = x_pol[j]
+            infid = infids[j]
+            worst = max(worst, infid)
+            if infid > threshold:
+                continue
+            old2q = [op for op in subs[i].ops if op.n_qubits == 2]
+            new_c = Circuit(2)
+            p = x[n_core : n_core + 6]
+            for q in (0, 1):
+                new_c.append("u", (q,), params=tuple(p[q * 3 : (q + 1) * 3]),
+                             duration=duration_1q)
+            for layer_i in range(m):
+                pp = x[m + layer_i * per_pulse : m + (layer_i + 1) * per_pulse]
+                Upulse = cplx.to_numpy(ham.smush_u(
+                    pp[0], pp[1], gc, 0.0, pp[2 : 2 + n_slices],
+                    pp[2 + n_slices : 2 + 2 * n_slices], t=plans[i][layer_i],
+                ))
+                dur = old2q[layer_i].duration if layer_i < len(old2q) else None
+                new_c.append("pd_pulse", (0, 1), params=tuple(pp),
+                             matrix=Upulse, duration=dur)
+                if layer_i < m - 1:
+                    lo = m + m * per_pulse + layer_i * 6
+                    p = x[lo : lo + 6]
+                    for q in (0, 1):
+                        new_c.append("u", (q,), params=tuple(p[q * 3 : (q + 1) * 3]),
+                                     duration=duration_1q)
+            p = x[n_core + 6 : n_core + 12]
+            for q in (0, 1):
+                new_c.append("u", (q,), params=tuple(p[q * 3 : (q + 1) * 3]),
+                             duration=duration_1q)
+            out[i] = new_c
+            n_ok += 1
+        if n_ok < B:
+            logger.warning(
+                "fit_substituted_pd: %d/%d blocks above threshold (worst "
+                "%.2e); placeholders kept there", B - n_ok, B, worst,
+            )
+        logger.info(
+            "fit_substituted_pd: fitted %d/%d blocks with %d pulse(s) "
+            "(worst block infidelity %.2e)", n_ok, B, m, worst,
+        )
+    return out
 
 
 # ------------------------------------------------ parallel-drive identities
@@ -257,6 +576,7 @@ def optimized_sqiswap_sub(
     duration_1q: float = 0.0,
     speed_method: str = "linear",
     seed: int = 0,
+    fit_1q: bool = False,
 ) -> Circuit:
     """OptimizedSqiswapSub (speed_limit_pass.py:317-464): replace CX-family
     blocks with a time-scaled parallel-driven iSwap, SWAP with iSwap_pd +
@@ -289,6 +609,7 @@ def optimized_sqiswap_sub(
         )
 
     subs: Dict[int, Circuit] = {}
+    plans: Dict[int, List[float]] = {}
     for i, b in enumerate(blocks):
         c = coords[i]
         sub = Circuit(2)
@@ -299,6 +620,7 @@ def optimized_sqiswap_sub(
             frac = c[0] / 0.5
             g = scaled_fraction(frac)
             sub.append("pd_iswap", (0, 1), matrix=g.to_numpy(), duration=g.duration)
+            plans[i] = [float(frac)]
         elif np.allclose(c, [0.5, 0.5, 0.5], atol=1e-9):
             # SWAP = pd-iSwap then sqiswap (speed_limit_pass.py:398-423)
             sub.append("pd_iswap", (0, 1), matrix=scaled_iswap.to_numpy(),
@@ -306,15 +628,18 @@ def optimized_sqiswap_sub(
             _random_1q_layer(sub, rng, duration_1q)
             g = scaled_fraction(0.5)
             sub.append("pd_sqiswap", (0, 1), matrix=g.to_numpy(), duration=g.duration)
+            plans[i] = [1.0, 0.5]
         elif np.allclose(c, [0.5, 0.5, 0.0], atol=1e-9):
             sub.append("pd_iswap", (0, 1), matrix=scaled_iswap.to_numpy(),
                        duration=scaled_iswap.duration)
+            plans[i] = [1.0]
         else:
             # general: extended-coverage lookups (speed_limit_pass.py:425-455)
             k_i, _ = edge_iswap_t.range_for(b.unitary)
             if k_i == 1:
                 sub.append("pd_iswap", (0, 1), matrix=scaled_iswap.to_numpy(),
                            duration=scaled_iswap.duration)
+                plans[i] = [1.0]
             else:
                 k, _ = sq_t.range_for(b.unitary)
                 gsq = scaled_fraction(0.5)
@@ -322,8 +647,11 @@ def optimized_sqiswap_sub(
                     sub.append("pd_sqiswap", (0, 1), matrix=gsq.to_numpy(),
                                duration=gsq.duration)
                     _random_1q_layer(sub, rng, duration_1q)
+                plans[i] = [0.5] * k
         _random_1q_layer(sub, rng, duration_1q)
         subs[i] = sub
+    if fit_1q:
+        subs = fit_substituted_pd(blocks, subs, plans, duration_1q=duration_1q)
     return _blocks_to_circuit(circ, subs)
 
 
@@ -371,27 +699,34 @@ def pass_manager_slam(
     basic_metric: int = 0,
     family_extension: bool = False,
     coupling_edges=None,
+    fit_1q: bool = False,
 ) -> Tuple[Circuit, Dict]:
     """Winner-substitution manager (pass_manager_slam,
-    speed_limit_pass.py:501-528)."""
+    speed_limit_pass.py:501-528). ``fit_1q=True`` makes the output
+    fidelity-faithful: substituted blocks' 1Q layers are batch-fitted so
+    the circuit's unitary is preserved block-by-block (the reference
+    leaves random placeholders, speed_limit_pass.py:311-313)."""
     out = optimize_1q_gates(
         speed_gate_substitute(
             circ, strategy=strategy, speed_method=speed_method,
             duration_1q=duration_1q, basic_metric=basic_metric,
             family_extension=family_extension, coupling_edges=coupling_edges,
+            fit_1q=fit_1q,
         )
     )
     return out, duration_analysis(out, duration_1q)
 
 
 def pass_manager_optimized_sqiswap(
-    circ: Circuit, duration_1q: float = 0.0, speed_method: str = "linear"
+    circ: Circuit, duration_1q: float = 0.0, speed_method: str = "linear",
+    fit_1q: bool = False,
 ) -> Tuple[Circuit, Dict]:
     """Parallel-drive identity manager (pass_manager_optimized_sqiswap,
-    speed_limit_pass.py:468-497)."""
+    speed_limit_pass.py:468-497). ``fit_1q=True``: see pass_manager_slam."""
     out = optimize_1q_gates(
         optimized_sqiswap_sub(
-            circ, duration_1q=duration_1q, speed_method=speed_method
+            circ, duration_1q=duration_1q, speed_method=speed_method,
+            fit_1q=fit_1q,
         )
     )
     return out, duration_analysis(out, duration_1q)

@@ -232,3 +232,35 @@ def test_router_legalizes_onto_grid():
     n_swaps_orig = sum(1 for op in qft.ops if op.name == "swap")
     n_swaps_routed = sum(1 for op in routed.ops if op.name == "swap")
     assert n_swaps_routed >= n_swaps_orig
+
+
+def test_fidelity_faithful_substitution():
+    """fit_1q=True makes substitution passes unitary-preserving: the
+    winner path via batched template fits (exact coverage guarantee), the
+    parallel-drive path via class-fitted smush pulses + exact KAK sandwich
+    locals + LM polish. The reference leaves random placeholders forever
+    (speed_limit_pass.py:311-313)."""
+    import numpy as np
+
+    from slam_decomposition_tpu.transpile import library
+    from slam_decomposition_tpu.transpile.ir import Circuit
+    from slam_decomposition_tpu.transpile.passes import (
+        pass_manager_optimized_sqiswap, pass_manager_slam)
+
+    def gdist(A, B):
+        return 1 - abs(np.trace(B.conj().T @ A)) / A.shape[0]
+
+    ghz = library.ghz(3)
+    ladder = Circuit(3)
+    ladder.cp(0.7, 0, 1); ladder.cp(1.1, 1, 2); ladder.cp(0.3, 0, 1)
+
+    for circ in (ghz, ladder):
+        U = circ.to_matrix()
+        out, _ = pass_manager_slam(circ, duration_1q=0.25, fit_1q=True)
+        assert gdist(out.to_matrix(), U) < 1e-9
+        out, _ = pass_manager_optimized_sqiswap(circ, duration_1q=0.25, fit_1q=True)
+        assert gdist(out.to_matrix(), U) < 5e-9
+
+    # without the flag, substitution is duration-only (placeholders)
+    out, _ = pass_manager_slam(ghz, duration_1q=0.25)
+    assert gdist(out.to_matrix(), ghz.to_matrix()) > 1e-3
