@@ -115,6 +115,12 @@ def monodromy_reps_float(matrices: np.ndarray) -> np.ndarray:
     single = arr.ndim == 2
     if single:
         arr = arr[None]
+    # Fixed-shape chunking: pad every call up to multiples of CHUNK so the
+    # in-process jit compiles exactly one executable regardless of batch
+    # size (an unwarmed 10k-shape XLA:CPU compile costs ~7 s inside the
+    # bench's timed region).
+    CHUNK = 2048
+    n = len(arr)
     # Scope the persistent compilation cache OFF for this CPU-pinned call:
     # a cached XLA:CPU executable may have been compiled on a host with
     # different machine features (bench runs flagged "could lead to
@@ -123,7 +129,23 @@ def monodromy_reps_float(matrices: np.ndarray) -> np.ndarray:
     try:
         jax.config.update("jax_enable_compilation_cache", False)
         with jax.default_device(jax.devices("cpu")[0]):
-            reps = np.asarray(_MONODROMY_JIT(cplx.from_numpy(arr)))
+            if n <= CHUNK:
+                pad = CHUNK if n > 64 else n  # tiny calls: compile tiny
+                part = np.concatenate([arr, np.repeat(arr[:1], pad - n, 0)])
+                reps = np.asarray(_MONODROMY_JIT(cplx.from_numpy(part)))[:n]
+            else:
+                out = []
+                for s in range(0, n, CHUNK):
+                    part = arr[s : s + CHUNK]
+                    m = len(part)
+                    if m < CHUNK:
+                        part = np.concatenate(
+                            [part, np.repeat(part[:1], CHUNK - m, 0)]
+                        )
+                    out.append(
+                        np.asarray(_MONODROMY_JIT(cplx.from_numpy(part)))[:m]
+                    )
+                reps = np.concatenate(out)
     finally:
         jax.config.update("jax_enable_compilation_cache", old_cache)
     return reps[0] if single else reps

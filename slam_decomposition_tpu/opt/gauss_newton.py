@@ -135,14 +135,18 @@ def make_solver(
         unavailable in f64; CG is exact in <= n steps and all-matvec."""
         n = b.shape[-1]
 
+        # guards must not underflow in f32 (1e-300 -> 0.0 -> 0/0 = NaN the
+        # moment CG converges exactly)
+        tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
+
         def body(_, carry):
             x, r, p, rs = carry
             Ap = A @ p
-            alpha = rs / jnp.maximum(p @ Ap, 1e-300)
+            alpha = rs / jnp.maximum(p @ Ap, tiny)
             x = x + alpha * p
             r = r - alpha * Ap
             rs_new = r @ r
-            p = r + (rs_new / jnp.maximum(rs, 1e-300)) * p
+            p = r + (rs_new / jnp.maximum(rs, tiny)) * p
             return (x, r, p, rs_new)
 
         x0 = jnp.zeros_like(b)
@@ -151,28 +155,47 @@ def make_solver(
         return x
 
     def lm_one(x0, tgt, iters=None, with_history=False):
+        """Mixed-precision Levenberg-Marquardt.
+
+        f64 is software-emulated on TPU (~140x slower per lane than f32 on
+        this chain — docs/profile_solver.md), so the f64 work per iteration
+        is cut to ONE forward eval: the residual r carries across iterations
+        in the param dtype (the precision that sets the convergence floor),
+        while the Jacobian, normal equations, and CG solve run in f32 (they
+        only *steer*; a 1e-7-accurate step direction still contracts the
+        error by ~1e-6 per iteration — inexact-Newton argument). Identical
+        math when x0 is already f32 (the ranking pass).
+        """
         r_fn = lambda x: res_fn(eval_fn, x, tgt)
-        J_fn = jax.jacfwd(r_fn)
+        tgt32 = (tgt[0].astype(jnp.float32), tgt[1].astype(jnp.float32))
+        J_fn = jax.jacfwd(lambda x32: res_fn(eval_fn, x32, tgt32))
 
         def step(carry, _):
-            x, lam = carry
-            r = r_fn(x)
-            J = J_fn(x)
-            A = J.T @ J + lam * jnp.eye(n_params, dtype=J.dtype)
-            dx = _spd_solve(A, -(J.T @ r))
-            # eval_fns with internal f64 constants promote dx; keep the scan
-            # carry dtype stable
+            x, lam, r, f0 = carry
+            J = J_fn(x.astype(jnp.float32))
+            lam32 = lam.astype(jnp.float32)
+            A = J.T @ J + lam32 * jnp.eye(n_params, dtype=jnp.float32)
+            # r is tiny near convergence but f32 holds ~7 digits at any
+            # magnitude — only r's *computation* needs the high precision
+            dx = _spd_solve(A, -(J.T @ r.astype(jnp.float32)))
             xn = project(x + dx.astype(x.dtype))
-            fn, f0 = jnp.sum(r_fn(xn) ** 2), jnp.sum(r * r)
+            rn = r_fn(xn)
+            fn = jnp.sum(rn * rn)
+            # NaN-safe: a diverged/NaN trial step is simply "not improved"
+            # (NaN < f0 is False); f0 must use where, not minimum, so the
+            # NaN can't poison the carry
             improved = fn < f0
             lam = jnp.where(improved, lam * 0.3, lam * 8.0)
             lam = jnp.clip(lam, 1e-14, 1e3)
             x = jnp.where(improved, xn, x)
-            return (x, lam), (jnp.minimum(fn, f0) if with_history else None)
+            r = jnp.where(improved, rn, r)
+            f0 = jnp.where(improved, fn, f0)
+            return (x, lam, r, f0), (f0 if with_history else None)
 
-        (x, _), hist = jax.lax.scan(
+        r0 = r_fn(x0)
+        (x, _, _, _), hist = jax.lax.scan(
             step,
-            (x0, jnp.asarray(1e-3, x0.dtype)),
+            (x0, jnp.asarray(1e-3, x0.dtype), r0, jnp.sum(r0 * r0)),
             None,
             length=iters if iters is not None else lm_iters,
         )
