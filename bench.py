@@ -47,7 +47,10 @@ NORTH_STAR_RATE = 10_000 / 60.0
 
 def build(k):
     a = build_ansatz(cycle_gates([gates.SQISWAP], k))
-    return jax.jit(make_solver(a.eval_fn, a.n_params)), a
+    return (
+        jax.jit(make_solver(a.eval_fn, a.n_params, chain_gates=a.chain_gates)),
+        a,
+    )
 
 
 def solve_bucket(targets, solver, ansatz, key):

@@ -63,7 +63,9 @@ def main():
     }
     t = {}
     for name, kw in variants.items():
-        solver = jax.jit(make_solver(a.eval_fn, a.n_params, **kw))
+        solver = jax.jit(
+            make_solver(a.eval_fn, a.n_params, chain_gates=a.chain_gates, **kw)
+        )
         t[name] = timed(solver, x0, targets)
 
     # also: forward-eval and value_and_grad microbenchmarks over the same

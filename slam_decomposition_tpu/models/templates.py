@@ -44,6 +44,11 @@ class Ansatz:
     # means "sum of fixed gate costs" (constant)
     cost_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
     fixed_cost: float = 0.0
+    # (k, 4, 4) complex constants of the per-cycle 2Q gates when the
+    # template is a plain u3-layer/constant-gate chain on 2 qubits — the
+    # structure the fused Pallas Adam kernel (ops/pallas_chain.py) needs;
+    # None when the template doesn't match that shape
+    chain_gates: Optional[np.ndarray] = None
 
     def circuit_cost(self, x):
         if self.cost_fn is None:
@@ -152,6 +157,15 @@ def build_ansatz(
 
     lower = np.full(n_1q, 0.0)
     upper = np.full(n_1q, 2 * np.pi)  # v1 guess range (basis.py:111)
+    chain_gates = None
+    if (
+        n_qubits == 2
+        and not vz_only
+        and not no_exterior_1q
+        and all(tuple(e) == (0, 1) for e in edges)
+        and k > 0
+    ):
+        chain_gates = np.stack([g.to_numpy() for g in gate_seq])
     return Ansatz(
         n_qubits=n_qubits,
         k=k,
@@ -161,6 +175,7 @@ def build_ansatz(
         lower=lower,
         upper=upper,
         fixed_cost=fixed_cost,
+        chain_gates=chain_gates,
     )
 
 

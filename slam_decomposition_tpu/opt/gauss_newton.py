@@ -63,6 +63,8 @@ def make_solver(
     upper=None,
     residual: str = "phase",
     final_cost_fn: Callable = None,
+    chain_gates=None,
+    adam_backend: str = "auto",
 ):
     """Build solve(x0s, tgt_pair) -> (best_x (B,n), best_f (B,)) where x0s
     is (B, R, n) and the target pair is ((B,4,4),(B,4,4)); jit/shard as
@@ -72,8 +74,38 @@ def make_solver(
     or "makhlin" (local-equivalence-class match — the reduced/Weyl/Makhlin
     objective family). ``final_cost_fn(U_pair, tgt_pair)`` overrides the
     cost used for restart ranking and the returned losses (defaults to the
-    square cost)."""
+    square cost).
+
+    ``chain_gates``: (k, 4, 4) complex constants of the template's 2Q gates
+    (Ansatz.chain_gates) — when given and the objective is the plain square
+    cost, the Adam warm start runs in the fused Pallas kernel
+    (ops/pallas_chain.py) instead of the XLA scan (~8x on the phase).
+    ``adam_backend``: "auto" (Pallas on TPU, XLA elsewhere), "pallas",
+    "pallas_interpret" (for CPU tests), or "xla"."""
     res_fn = _phase_residual if residual == "phase" else _makhlin_residual
+
+    pallas_adam = None
+    if (
+        chain_gates is not None
+        and residual == "phase"
+        and final_cost_fn is None
+        and lower is None
+        and adam_backend != "xla"
+    ):
+        use = adam_backend in ("pallas", "pallas_interpret")
+        if adam_backend == "auto":
+            use = jax.default_backend() == "tpu"
+        if use:
+            from slam_decomposition_tpu.ops.pallas_chain import make_adam_chain
+
+            interp = adam_backend == "pallas_interpret"
+            pallas_adam = make_adam_chain(
+                chain_gates,
+                adam_iters=adam_iters,
+                adam_lr=adam_lr,
+                interpret=interp,
+                sublanes=8 if interp else 32,
+            )
 
     def cost64(x, tgt):
         if final_cost_fn is not None:
@@ -206,9 +238,16 @@ def make_solver(
     def solve(x0s, tgt):
         B, R, n = x0s.shape
         tgt32 = (tgt[0].astype(jnp.float32), tgt[1].astype(jnp.float32))
-        xs32 = jax.vmap(
-            jax.vmap(adam_one, in_axes=(0, None)), in_axes=(0, 0)
-        )(x0s.astype(jnp.float32), tgt32)
+        if pallas_adam is not None:
+            xs32 = pallas_adam(
+                x0s.reshape(B * R, n).astype(jnp.float32),
+                jnp.repeat(tgt32[0], R, axis=0),
+                jnp.repeat(tgt32[1], R, axis=0),
+            ).reshape(B, R, n)
+        else:
+            xs32 = jax.vmap(
+                jax.vmap(adam_one, in_axes=(0, None)), in_axes=(0, 0)
+            )(x0s.astype(jnp.float32), tgt32)
         # f32 LM ranking pass on every restart (Adam only needs to reach the
         # right basin, ~1e-2; LM then contracts quadratically in f32 to its
         # ~1e-6 floor — much cheaper than running Adam to 1e-4)
