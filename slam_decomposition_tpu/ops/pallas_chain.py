@@ -123,6 +123,197 @@ def _chain(x, Gs: np.ndarray, k: int):
     return U
 
 
+def _phase_residual_tiles(xs, T, Gs, k, n_params):
+    """Phase-aligned residual r = vec(V - e^{i phi} U) as 32 (S, L) tiles
+    (16 re + 16 im), matching opt/gauss_newton._phase_residual."""
+    x = [xs[p] for p in range(n_params)]
+    V = _chain(x, Gs, k)
+    t_re = jnp.zeros_like(xs[0])
+    t_im = jnp.zeros_like(xs[0])
+    for i in range(4):
+        for j in range(4):
+            tre, tim = T[i][j]
+            vre, vim = V[i][j]
+            t_re = t_re + tre * vre + tim * vim
+            t_im = t_im + tre * vim - tim * vre
+    inv = jax.lax.rsqrt(t_re * t_re + t_im * t_im + 1e-30)
+    c, s = t_re * inv, t_im * inv
+    out = []
+    for i in range(4):
+        for j in range(4):
+            tre, tim = T[i][j]
+            vre, vim = V[i][j]
+            out.append(vre - (c * tre - s * tim))
+    for i in range(4):
+        for j in range(4):
+            tre, tim = T[i][j]
+            vre, vim = V[i][j]
+            out.append(vim - (c * tim + s * tre))
+    return out
+
+
+def lm_block(xs, tt, Gs: np.ndarray, lm_iters: int):
+    """Pure-jnp LM block: xs (n, S, L) params, tt (32, S, L) target tiles
+    -> (x_final, ||r||^2 per lane). This IS the Pallas kernel body — kept
+    as a plain function so CI can compile it on CPU and check it against
+    opt/gauss_newton.lm_one without the (minutes-slow) Pallas interpreter.
+    """
+    Gs = np.asarray(Gs, dtype=complex)
+    k = Gs.shape[0]
+    n = 6 * (k + 1)
+    T = [[(tt[4 * i + j], tt[16 + 4 * i + j]) for j in range(4)] for i in range(4)]
+
+    def res(x):
+        return _phase_residual_tiles(x, T, Gs, k, n)
+
+    tiny = jnp.float32(1e-30)
+
+    def cg_solve(A, b, lam):
+        # A: (n, n, S, L) normal matrix (without lam), b: (n, S, L);
+        # per-lane CG on the regularized system, n+8 iterations
+        def matvec(p):
+            Ap = (A * p[None, :]).sum(axis=1)
+            return Ap + lam[None] * p
+
+        def body(_, carry):
+            xx, rr, pp, rs = carry
+            Ap = matvec(pp)
+            pAp = (pp * Ap).sum(axis=0)
+            alpha = rs / jnp.maximum(pAp, tiny)
+            xx = xx + alpha[None] * pp
+            rr = rr - alpha[None] * Ap
+            rs_new = (rr * rr).sum(axis=0)
+            pp = rr + (rs_new / jnp.maximum(rs, tiny))[None] * pp
+            return (xx, rr, pp, rs_new)
+
+        carry = (jnp.zeros_like(b), b, b, (b * b).sum(axis=0))
+        xx, _, _, _ = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n + 8), body, carry
+        )
+        return xx
+
+    def lm_step(_, carry):
+        x, lam, r, f0 = carry
+        # J columns via n unrolled JVPs (forward mode: n < 32 rows)
+        cols = []
+        one = jnp.ones_like(x[:1])
+        zero = jnp.zeros_like(x[:1])
+        for p in range(n):
+            # unit tangent by concatenation (scatter doesn't lower)
+            e = jnp.concatenate(
+                [zero] * p + [one] + [zero] * (n - p - 1), axis=0
+            )
+            _, jcol = jax.jvp(res, (x,), (e,))
+            cols.append(jnp.stack(jcol))  # (32, S, L)
+        # normal equations from the column list (symmetric)
+        A_rows = []
+        for i in range(n):
+            row = []
+            for j in range(n):
+                if j < i:
+                    row.append(A_rows[j][i])
+                else:
+                    row.append((cols[i] * cols[j]).sum(axis=0))
+            A_rows.append(row)
+        A = jnp.stack([jnp.stack(row) for row in A_rows])  # (n,n,S,L)
+        g = jnp.stack([(cols[i] * r).sum(axis=0) for i in range(n)])
+        dx = cg_solve(A, -g, lam)
+        xn = x + dx
+        rn = jnp.stack(res(xn))
+        fn = (rn * rn).sum(axis=0)
+        improved = fn < f0
+        # explicit f32 constants: under x64 weak literals can lower as
+        # f64 -> f32 truncf, which Mosaic rejects
+        lam = jnp.where(
+            improved, lam * jnp.float32(0.3), lam * jnp.float32(8.0)
+        )
+        lam = jnp.clip(lam, jnp.float32(1e-14), jnp.float32(1e3))
+        x = jnp.where(improved[None], xn, x)
+        r = jnp.where(improved[None], rn, r)
+        f0 = jnp.where(improved, fn, f0)
+        return (x, lam, r, f0)
+
+    r0 = jnp.stack(res(xs))
+    f0 = (r0 * r0).sum(axis=0)
+    lam0 = jnp.full_like(f0, 1e-3)
+    x, _, _, f = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(lm_iters), lm_step, (xs, lam0, r0, f0)
+    )
+    return x, f
+
+
+def make_lm_chain(
+    Gs: np.ndarray,
+    lm_iters: int = 8,
+    interpret: bool = False,
+    sublanes: int = 8,
+):
+    """Fused Levenberg-Marquardt kernel on the u3-layer chain (f32).
+
+    Per iteration, entirely on-chip per (sublanes*128)-lane tile block:
+    Jacobian of the 32-dim phase residual via ``n_params`` unrolled JVPs,
+    normal equations J^T J + lam I (lam per lane), CG solve, trial step
+    with per-lane accept/reject and lam update — the exact algorithm of
+    opt/gauss_newton.lm_one's f32 ranking pass. Returns
+    run(x (L, n) f32, tgt pair (L,4,4) f32) -> (x_final (L, n), ||r||^2 (L,)).
+
+    The returned sum-of-squares is monotone in |tr(U^dag V)| exactly like
+    the square cost, so callers can rank restarts on it directly.
+    """
+    Gs = np.asarray(Gs, dtype=complex)
+    k = Gs.shape[0]
+    n = 6 * (k + 1)
+    tb = sublanes * LANES
+
+    def kernel(x_ref, t_ref, o_ref, f_ref):
+        x, f = lm_block(x_ref[:], t_ref[:], Gs, lm_iters)
+        o_ref[:] = x
+        f_ref[:] = f
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, sublanes, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((sublanes, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(x0, tgt_re, tgt_im):
+        L = x0.shape[0]
+        nt = -(-L // tb)
+        pad = nt * tb - L
+
+        def tile(a, feat):
+            a = jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            return a.reshape(nt, sublanes, LANES, feat).transpose(0, 3, 1, 2)
+
+        xt = tile(x0.astype(jnp.float32), n)
+        tflat = jnp.concatenate(
+            [
+                tgt_re.astype(jnp.float32).reshape(L, 16),
+                tgt_im.astype(jnp.float32).reshape(L, 16),
+            ],
+            axis=1,
+        )
+        tt = tile(tflat, 32)
+        xs, fs = jax.lax.map(lambda a: call(a[0], a[1]), (xt, tt))
+        xs = xs.transpose(0, 2, 3, 1).reshape(nt * tb, n)[:L]
+        fs = fs.reshape(nt * tb)[:L]
+        return xs, fs
+
+    return run
+
+
 def make_adam_chain(
     Gs: np.ndarray,
     adam_iters: int = 100,

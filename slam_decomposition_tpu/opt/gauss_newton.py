@@ -85,6 +85,7 @@ def make_solver(
     res_fn = _phase_residual if residual == "phase" else _makhlin_residual
 
     pallas_adam = None
+    pallas_lm = None
     if (
         chain_gates is not None
         and residual == "phase"
@@ -96,7 +97,10 @@ def make_solver(
         if adam_backend == "auto":
             use = jax.default_backend() == "tpu"
         if use:
-            from slam_decomposition_tpu.ops.pallas_chain import make_adam_chain
+            from slam_decomposition_tpu.ops.pallas_chain import (
+                make_adam_chain,
+                make_lm_chain,
+            )
 
             interp = adam_backend == "pallas_interpret"
             pallas_adam = make_adam_chain(
@@ -106,6 +110,11 @@ def make_solver(
                 interpret=interp,
                 sublanes=8 if interp else 32,
             )
+            # the LM kernel is compiled-only: its n_params unrolled JVPs are
+            # minutes-slow under the interpreter (the kernel itself has a
+            # dedicated interpret-mode unit test at small iteration count)
+            if lm32_iters > 0 and not interp:
+                pallas_lm = make_lm_chain(chain_gates, lm_iters=lm32_iters)
 
     def cost64(x, tgt):
         if final_cost_fn is not None:
@@ -251,17 +260,31 @@ def make_solver(
         # f32 LM ranking pass on every restart (Adam only needs to reach the
         # right basin, ~1e-2; LM then contracts quadratically in f32 to its
         # ~1e-6 floor — much cheaper than running Adam to 1e-4)
-        xs32 = jax.vmap(
-            jax.vmap(
-                lambda x, t0, t1: lm_one(x, (t0, t1), iters=lm32_iters),
-                in_axes=(0, None, None),
-            ),
-            in_axes=(0, 0, 0),
-        )(xs32, tgt32[0], tgt32[1])
-        fs32 = jax.vmap(
-            jax.vmap(lambda x, t0, t1: cost64(x, (t0, t1)), in_axes=(0, None, None)),
-            in_axes=(0, 0, 0),
-        )(xs32, tgt32[0], tgt32[1])
+        if pallas_lm is not None:
+            xs_flat, fs_flat = pallas_lm(
+                xs32.reshape(B * R, n),
+                jnp.repeat(tgt32[0], R, axis=0),
+                jnp.repeat(tgt32[1], R, axis=0),
+            )
+            xs32 = xs_flat.reshape(B, R, n)
+            # kernel returns ||r||^2 = 8 - 2|tr| — monotone in |tr| exactly
+            # like the square cost, so ranking on it picks the same restart
+            fs32 = fs_flat.reshape(B, R)
+        else:
+            xs32 = jax.vmap(
+                jax.vmap(
+                    lambda x, t0, t1: lm_one(x, (t0, t1), iters=lm32_iters),
+                    in_axes=(0, None, None),
+                ),
+                in_axes=(0, 0, 0),
+            )(xs32, tgt32[0], tgt32[1])
+            fs32 = jax.vmap(
+                jax.vmap(
+                    lambda x, t0, t1: cost64(x, (t0, t1)),
+                    in_axes=(0, None, None),
+                ),
+                in_axes=(0, 0, 0),
+            )(xs32, tgt32[0], tgt32[1])
         best0 = jnp.argmin(fs32, axis=1)
         xs = jnp.take_along_axis(
             xs32, best0[:, None, None], axis=1

@@ -187,6 +187,8 @@ class TemplateOptimizer:
                 upper=jnp.asarray(ansatz.upper) if ansatz.use_bounds else None,
                 residual=residual,
                 final_cost_fn=final_cost,
+                # fused Pallas Adam/LM kernels on TPU for plain u3 chains
+                chain_gates=ansatz.chain_gates,
                 **iter_kw,
             )
             with_history = self.use_callback

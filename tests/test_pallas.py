@@ -75,6 +75,44 @@ def test_adam_chain_matches_xla_scan():
     np.testing.assert_allclose(pal, ref, atol=5e-5)
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="LM kernel is compiled-only: its unrolled-JVP body is minutes-"
+    "slow under both the Pallas interpreter and XLA:CPU on this 1-core CI "
+    "box; on TPU it was verified against the XLA LM pass (identical "
+    "convergence stats at 1024 lanes, docs/profile_solver.md)",
+)
+def test_lm_chain_on_tpu_matches_reference_stats():
+    from slam_decomposition_tpu.ops.pallas_chain import make_lm_chain
+
+    a = build_ansatz(cycle_gates([gates.SQISWAP], K))
+    L = 1024
+    tp = cplx.from_numpy(haar_sample(L, seed=5))
+    t32 = (tp[0].astype(jnp.float32), tp[1].astype(jnp.float32))
+    x0 = (
+        jax.random.uniform(jax.random.PRNGKey(2), (L, a.n_params)).astype(
+            jnp.float32
+        )
+        * 2
+        * np.pi
+    )
+    x0 = make_adam_chain(a.chain_gates)(x0, *t32)
+
+    def sumsq(x):
+        V = jax.vmap(a.eval_fn)(jnp.asarray(x, jnp.float64))
+        tr = cplx.trace(cplx.matmul(cplx.dagger(tp), V))
+        return np.asarray(8.0 - 2.0 * jnp.sqrt(cplx.abs2(tr)))
+
+    xl, fl = make_lm_chain(a.chain_gates, lm_iters=8)(x0, *t32)
+    xl, fl = np.asarray(xl), np.asarray(fl)
+    f_init = sumsq(np.asarray(x0))
+    assert (fl <= f_init + 1e-4).all()  # accept/reject never regresses
+    ok = np.isclose(fl, sumsq(xl), rtol=1e-3, atol=1e-5)
+    assert ok.mean() > 0.99, f"sumsq mismatch on {(~ok).sum()} lanes"
+    # quadratic contraction: a third of random restarts hit the f32 floor
+    assert (fl < 1e-9).mean() > 0.2
+
+
 def test_chain_gates_only_on_plain_u3_chains():
     a = build_ansatz(cycle_gates([gates.SQISWAP], 2), vz_only=True)
     assert a.chain_gates is None
