@@ -314,6 +314,292 @@ def make_lm_chain(
     return run
 
 
+def _chain_df64(x_df, Gs: np.ndarray, k: int):
+    """U = L_k G_{k-1} ... L_1 G_0 L_0 in double-single arithmetic.
+
+    ``x_df``: list of n_params (hi, lo) angle tiles. Matrix entries are
+    ((re_hi, re_lo), (im_hi, im_lo)) — complex df64. ~10x the f32 flop
+    count instead of XLA's ~140x f64-emulation slowdown
+    (docs/profile_solver.md)."""
+    from slam_decomposition_tpu.ops import df64
+
+    def u3(th, ph, la):
+        sth, cth = df64.sincos(df64.scale_exact(th, jnp.float32(0.5)))
+        sp, cp = df64.sincos(ph)
+        sl, cl = df64.sincos(la)
+        spl, cpl = df64.sincos(df64.add(ph, la))
+        z = df64.lift(jnp.zeros_like(th[0]))
+        return [
+            [(cth, z), (df64.neg(df64.mul(cl, sth)), df64.neg(df64.mul(sl, sth)))],
+            [
+                (df64.mul(cp, sth), df64.mul(sp, sth)),
+                (df64.mul(cpl, cth), df64.mul(spl, cth)),
+            ],
+        ]
+
+    def layer(off):
+        A = u3(x_df[off + 0], x_df[off + 1], x_df[off + 2])
+        B = u3(x_df[off + 3], x_df[off + 4], x_df[off + 5])
+        return [
+            [df64.cmul(A[a][b], B[c][d]) for b in range(2) for d in range(2)]
+            for a in range(2)
+            for c in range(2)
+        ]
+
+    def matmul4(A, B):
+        out = []
+        for i in range(4):
+            row = []
+            for j in range(4):
+                acc = df64.cmul(A[i][0], B[0][j])
+                for kk in range(1, 4):
+                    acc = df64.cadd(acc, df64.cmul(A[i][kk], B[kk][j]))
+                row.append(acc)
+            out.append(row)
+        return out
+
+    def const_matmul(G, B):
+        out = []
+        zt = jnp.zeros_like(x_df[0][0])
+        for i in range(4):
+            row = []
+            for j in range(4):
+                acc = None
+                for kk in range(4):
+                    gr, gi = complex(G[i, kk]).real, complex(G[i, kk]).imag
+                    if gr == 0.0 and gi == 0.0:
+                        continue
+                    gc = (
+                        (jnp.full_like(zt, df64.const(gr)[0]), jnp.full_like(zt, df64.const(gr)[1])),
+                        (jnp.full_like(zt, df64.const(gi)[0]), jnp.full_like(zt, df64.const(gi)[1])),
+                    )
+                    term = df64.cmul(gc, B[kk][j])
+                    acc = term if acc is None else df64.cadd(acc, term)
+                if acc is None:
+                    acc = ((zt, zt), (zt, zt))
+                row.append(acc)
+            out.append(row)
+        return out
+
+    U = layer(0)
+    for i in range(k):
+        U = const_matmul(Gs[i], U)
+        U = matmul4(layer(6 * (i + 1)), U)
+    return U
+
+
+def polish_block(xh, xl, th, tl, Gs: np.ndarray, lm_iters: int):
+    """df64 LM polish block (the Pallas polish-kernel body, pure jnp).
+
+    xh/xl: (n, S, L) double-single parameters; th/tl: (32, S, L) target
+    tiles (16 re + 16 im, hi and lo words). The residual r = vec(V -
+    e^{i phi} U) is evaluated in double-single (~2^-47), the Jacobian /
+    normal equations / CG run in f32 (mixed-precision LM,
+    opt/gauss_newton.lm_one), and accept/reject compares ||r||^2 hi-words
+    (f32 holds tiny magnitudes fine). Returns (xh, xl) after lm_iters.
+    """
+    from slam_decomposition_tpu.ops import df64
+
+    Gs = np.asarray(Gs, dtype=complex)
+    k = Gs.shape[0]
+    n = 6 * (k + 1)
+
+    T32 = [
+        [(th[4 * i + j], th[16 + 4 * i + j]) for j in range(4)]
+        for i in range(4)
+    ]
+    Tdf = [
+        [
+            (
+                (th[4 * i + j], tl[4 * i + j]),
+                (th[16 + 4 * i + j], tl[16 + 4 * i + j]),
+            )
+            for j in range(4)
+        ]
+        for i in range(4)
+    ]
+
+    def res32(xs):
+        return _phase_residual_tiles(xs, T32, Gs, k, n)
+
+    def res_df(x_pairs):
+        V = _chain_df64(x_pairs, Gs, k)
+        zt = jnp.zeros_like(x_pairs[0][0])
+        t_re = df64.lift(zt)
+        t_im = df64.lift(zt)
+        for i in range(4):
+            for j in range(4):
+                (tre, tim), (vre, vim) = Tdf[i][j], V[i][j]
+                # tr(T^dag V) += conj(T_ij) * V_ij
+                t_re = df64.add(t_re, df64.add(df64.mul(tre, vre), df64.mul(tim, vim)))
+                t_im = df64.add(t_im, df64.sub(df64.mul(tre, vim), df64.mul(tim, vre)))
+        mag = df64.sqrt(
+            df64.add(df64.mul(t_re, t_re), df64.mul(t_im, t_im))
+        )
+        c = df64.div(t_re, mag)
+        s = df64.div(t_im, mag)
+        out = []
+        for i in range(4):
+            for j in range(4):
+                (tre, tim), (vre, vim) = Tdf[i][j], V[i][j]
+                out.append(df64.sub(vre, df64.sub(df64.mul(c, tre), df64.mul(s, tim))))
+        for i in range(4):
+            for j in range(4):
+                (tre, tim), (vre, vim) = Tdf[i][j], V[i][j]
+                out.append(df64.sub(vim, df64.add(df64.mul(c, tim), df64.mul(s, tre))))
+        return out
+
+    def sumsq_hi(r_list):
+        f = jnp.zeros_like(r_list[0][0])
+        for r in r_list:
+            f = f + r[0] * r[0]
+        return f
+
+    tiny = jnp.float32(1e-30)
+
+    def cg_solve(A, b, lam):
+        def matvec(p):
+            return (A * p[None, :]).sum(axis=1) + lam[None] * p
+
+        def body(_, carry):
+            xx, rr, pp, rs = carry
+            Ap = matvec(pp)
+            alpha = rs / jnp.maximum((pp * Ap).sum(axis=0), tiny)
+            xx = xx + alpha[None] * pp
+            rr = rr - alpha[None] * Ap
+            rs_new = (rr * rr).sum(axis=0)
+            pp = rr + (rs_new / jnp.maximum(rs, tiny))[None] * pp
+            return (xx, rr, pp, rs_new)
+
+        carry = (jnp.zeros_like(b), b, b, (b * b).sum(axis=0))
+        xx, _, _, _ = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n + 8), body, carry
+        )
+        return xx
+
+    def unstack(xh_, xl_):
+        return [(xh_[p], xl_[p]) for p in range(n)]
+
+    def lm_step(_, carry):
+        xh_, xl_, lam, f0 = carry
+        # f32 Jacobian at the hi words (mixed-precision: J only steers)
+        cols = []
+        one = jnp.ones_like(xh_[:1])
+        zero = jnp.zeros_like(xh_[:1])
+        for p in range(n):
+            e = jnp.concatenate([zero] * p + [one] + [zero] * (n - p - 1), axis=0)
+            _, jcol = jax.jvp(res32, (xh_,), (e,))
+            cols.append(jnp.stack(jcol))
+        r_df = res_df(unstack(xh_, xl_))
+        r_hi = jnp.stack([r[0] for r in r_df])  # (32, S, L) — f32 keeps
+        # ~7 digits of the df64 residual at ANY magnitude: exactly enough
+        # for the gradient direction
+        A_rows = []
+        for i in range(n):
+            row = []
+            for j in range(n):
+                if j < i:
+                    row.append(A_rows[j][i])
+                else:
+                    row.append((cols[i] * cols[j]).sum(axis=0))
+            A_rows.append(row)
+        A = jnp.stack([jnp.stack(r) for r in A_rows])
+        g = jnp.stack([(cols[i] * r_hi).sum(axis=0) for i in range(n)])
+        dx = cg_solve(A, -g, lam)
+        # trial step in df64
+        from slam_decomposition_tpu.ops import df64 as _df
+
+        xn = [_df.add((xh_[p], xl_[p]), _df.lift(dx[p])) for p in range(n)]
+        rn = res_df(xn)
+        fn = sumsq_hi(rn)
+        improved = fn < f0
+        lam = jnp.where(improved, lam * jnp.float32(0.3), lam * jnp.float32(8.0))
+        lam = jnp.clip(lam, jnp.float32(1e-14), jnp.float32(1e3))
+        xnh = jnp.stack([x[0] for x in xn])
+        xnl = jnp.stack([x[1] for x in xn])
+        xh_ = jnp.where(improved[None], xnh, xh_)
+        xl_ = jnp.where(improved[None], xnl, xl_)
+        f0 = jnp.where(improved, fn, f0)
+        return (xh_, xl_, lam, f0)
+
+    f0 = sumsq_hi(res_df(unstack(xh, xl)))
+    lam0 = jnp.full_like(f0, 1e-3)
+    xh, xl, _, _ = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(lm_iters), lm_step, (xh, xl, lam0, f0)
+    )
+    return xh, xl
+
+
+def make_polish_chain(
+    Gs: np.ndarray,
+    lm_iters: int = 6,
+    interpret: bool = False,
+    sublanes: int = 8,
+):
+    """Fused double-single LM polish kernel.
+
+    run(x (L, n) f64, tgt pair (L,4,4) f64) -> x (L, n) f64. Replaces the
+    XLA emulated-f64 polish phase (the round-1 bottleneck at 71% of solve
+    time); the ~2^-47 double-single residual drives true losses to ~1e-25,
+    and final certification stays in real f64 on the host path.
+    """
+    Gs = np.asarray(Gs, dtype=complex)
+    k = Gs.shape[0]
+    n = 6 * (k + 1)
+    tb = sublanes * LANES
+
+    def kernel(xh_ref, xl_ref, th_ref, tl_ref, oh_ref, ol_ref):
+        xh, xl = polish_block(
+            xh_ref[:], xl_ref[:], th_ref[:], tl_ref[:], Gs, lm_iters
+        )
+        oh_ref[:] = xh
+        ol_ref[:] = xl
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, sublanes, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n, sublanes, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(x0, tgt_re, tgt_im):
+        L = x0.shape[0]
+        nt = -(-L // tb)
+        pad = nt * tb - L
+
+        def tile(a, feat):
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]
+            )
+            return a.reshape(nt, sublanes, LANES, feat).transpose(0, 3, 1, 2)
+
+        def split_tiles(a64, feat):
+            hi = a64.astype(jnp.float32)
+            lo = (a64 - hi.astype(a64.dtype)).astype(jnp.float32)
+            return tile(hi, feat), tile(lo, feat)
+
+        xh, xl = split_tiles(x0, n)
+        tflat = jnp.concatenate(
+            [tgt_re.reshape(L, 16), tgt_im.reshape(L, 16)], axis=1
+        )
+        th, tl = split_tiles(tflat, 32)
+        oh, ol = jax.lax.map(
+            lambda a: call(a[0], a[1], a[2], a[3]), (xh, xl, th, tl)
+        )
+        out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
+        return out.transpose(0, 2, 3, 1).reshape(nt * tb, n)[:L]
+
+    return run
+
+
 def make_adam_chain(
     Gs: np.ndarray,
     adam_iters: int = 100,

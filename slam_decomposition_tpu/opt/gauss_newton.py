@@ -86,6 +86,7 @@ def make_solver(
 
     pallas_adam = None
     pallas_lm = None
+    pallas_polish = None
     if (
         chain_gates is not None
         and residual == "phase"
@@ -100,6 +101,7 @@ def make_solver(
             from slam_decomposition_tpu.ops.pallas_chain import (
                 make_adam_chain,
                 make_lm_chain,
+                make_polish_chain,
             )
 
             interp = adam_backend == "pallas_interpret"
@@ -110,11 +112,13 @@ def make_solver(
                 interpret=interp,
                 sublanes=8 if interp else 32,
             )
-            # the LM kernel is compiled-only: its n_params unrolled JVPs are
-            # minutes-slow under the interpreter (the kernel itself has a
-            # dedicated interpret-mode unit test at small iteration count)
+            # the LM/polish kernels are compiled-only: their n_params
+            # unrolled JVPs are minutes-slow under the interpreter (each has
+            # a TPU-gated test instead)
             if lm32_iters > 0 and not interp:
                 pallas_lm = make_lm_chain(chain_gates, lm_iters=lm32_iters)
+            if lm_iters > 0 and not interp:
+                pallas_polish = make_polish_chain(chain_gates, lm_iters=lm_iters)
 
     def cost64(x, tgt):
         if final_cost_fn is not None:
@@ -289,13 +293,18 @@ def make_solver(
         xs = jnp.take_along_axis(
             xs32, best0[:, None, None], axis=1
         ).squeeze(1).astype(x0s.dtype)
-        # LM holds jacfwd tangent intermediates (~2 MB/lane in f64): bound
-        # live memory by mapping fixed-size lane chunks (single program)
-        def lm_lane(args):
-            x, tr, ti = args
-            return lm_one(x, (tr, ti))
+        if pallas_polish is not None:
+            # double-single on-chip polish; certification below stays in
+            # true f64
+            xs = pallas_polish(xs, tgt[0], tgt[1])
+        else:
+            # LM holds jacfwd tangent intermediates (~2 MB/lane in f64):
+            # bound live memory by mapping fixed-size lane chunks
+            def lm_lane(args):
+                x, tr, ti = args
+                return lm_one(x, (tr, ti))
 
-        xs = jax.lax.map(lm_lane, (xs, tgt[0], tgt[1]), batch_size=1024)
+            xs = jax.lax.map(lm_lane, (xs, tgt[0], tgt[1]), batch_size=1024)
         bf = jax.vmap(cost64)(xs, tgt)
         return xs, bf
 
@@ -331,6 +340,8 @@ def make_solver(
         """f64 LM only, from an already-good seed: (B, n) x pair(B,4,4) ->
         (B, n). No Adam phase (which would destroy a near-converged
         seed)."""
+        if pallas_polish is not None and (iters is None or iters == lm_iters):
+            return pallas_polish(x0s_flat, tgt[0], tgt[1])
         return jax.lax.map(
             lambda a: lm_one(a[0], (a[1], a[2]), iters=iters),
             (x0s_flat, tgt[0], tgt[1]),

