@@ -103,11 +103,19 @@ _MONODROMY_JIT = None
 
 
 def monodromy_reps_float(matrices: np.ndarray) -> np.ndarray:
-    """Batched (n, 2, 4) monodromy representatives — one jitted CPU call."""
+    """Batched (n, 2, 4) monodromy representatives — one jitted device call.
+
+    On TPU the mixed-precision eigensolve (weyl.monodromy_coords_mixed: f32
+    Jacobi + f64 Rayleigh refinement, phases accurate to ~1e-12) runs on
+    the accelerator; elsewhere the full-f64 path runs on (pinned) CPU.
+    """
     global _MONODROMY_JIT
     import jax
 
     from slam_decomposition_tpu.ops import cplx, weyl
+
+    if jax.default_backend() == "tpu":
+        return _monodromy_reps_tpu(np.asarray(matrices))
 
     if _MONODROMY_JIT is None:
         _MONODROMY_JIT = jax.jit(weyl.monodromy_coords)
@@ -148,6 +156,41 @@ def monodromy_reps_float(matrices: np.ndarray) -> np.ndarray:
                 reps = np.concatenate(out)
     finally:
         jax.config.update("jax_enable_compilation_cache", old_cache)
+    return reps[0] if single else reps
+
+
+_MONODROMY_TPU_JIT = None
+
+
+def _monodromy_reps_tpu(arr: np.ndarray) -> np.ndarray:
+    """TPU fast path: fixed-shape chunked, on-device mixed-precision."""
+    global _MONODROMY_TPU_JIT
+    import jax
+
+    from slam_decomposition_tpu.ops import cplx, weyl
+
+    if _MONODROMY_TPU_JIT is None:
+        _MONODROMY_TPU_JIT = jax.jit(weyl.monodromy_coords_mixed)
+    single = arr.ndim == 2
+    if single:
+        arr = arr[None]
+    CHUNK = 8192  # big chunks: each dispatch through the device tunnel has
+    # ~20 ms fixed latency, so fewer, larger launches win
+    n = len(arr)
+    if n <= CHUNK:
+        pad = CHUNK if n > 64 else n
+        part = np.concatenate([arr, np.repeat(arr[:1], pad - n, 0)])
+        reps = np.asarray(_MONODROMY_TPU_JIT(cplx.from_numpy(part)))[:n]
+    else:
+        # launch every chunk before syncing any (device queue pipelines)
+        futs = []
+        for s in range(0, n, CHUNK):
+            part = arr[s : s + CHUNK]
+            m = len(part)
+            if m < CHUNK:
+                part = np.concatenate([part, np.repeat(part[:1], CHUNK - m, 0)])
+            futs.append((_MONODROMY_TPU_JIT(cplx.from_numpy(part)), m))
+        reps = np.concatenate([np.asarray(f)[:m] for f, m in futs])
     return reps[0] if single else reps
 
 

@@ -176,6 +176,38 @@ def monodromy_coords(U: cplx.CMat) -> jnp.ndarray:
     (used at polytope_wrap.py:47).
     """
     th = gamma_eigenphases(U)
+    return _phases_to_reps(th)
+
+
+def monodromy_coords_mixed(U: cplx.CMat) -> jnp.ndarray:
+    """monodromy_coords with a TPU-friendly mixed-precision eigensolve.
+
+    f64 on TPU is software-emulated (~140x); the full-f64 joint Jacobi is
+    what forces the CPU pin in coverage.monodromy_reps_float. Here only the
+    tiny fixed-cost pieces stay f64 (magic-basis products, and a Rayleigh
+    refinement at the end); the iterative Jacobi sweeps run in f32. The
+    Rayleigh quotient of an eigenvector with O(eps32) error has O(eps32^2)
+    eigenVALUE error — including for clustered spectra, where the value
+    lies within the (zero-width) cluster plus quadratic leakage — so the
+    refined phases are accurate to ~1e-12, far inside the 1e-8 membership
+    tolerance. Verified against the f64 path on Haar + degenerate gates.
+    """
+    Us, _ = su4_normalize(U)
+    M = to_magic(Us)
+    m = cplx.matmul(cplx.transpose(M), M)  # unitary symmetric, f64
+    X64, Y64 = m
+    _, _, V32 = joint_diag(
+        X64.astype(jnp.float32), Y64.astype(jnp.float32)
+    )
+    V = V32.astype(X64.dtype)
+    vv = jnp.sum(V * V, axis=-2)  # (..., 4) column norms^2
+    lx = jnp.einsum("...ik,...ij,...jk->...k", V, X64, V) / vv
+    ly = jnp.einsum("...ik,...ij,...jk->...k", V, Y64, V) / vv
+    th = jnp.arctan2(ly, lx)
+    return _phases_to_reps(th)
+
+
+def _phases_to_reps(th: jnp.ndarray) -> jnp.ndarray:
     a = th / (2.0 * np.pi)
 
     def reduce_alcove(a):
