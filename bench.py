@@ -11,8 +11,9 @@ Pipeline (the reference's own flow, batched):
      (polytope membership; reference did this serially per target,
      optimizer.py:183 + polytope_wrap.py:39);
   2. bucket targets by exact k (2 or 3 for sqiswap), pad to fixed chunks;
-  3. per bucket, solve with the scan-based Adam(f32)+LM(f64) multi-start
-     solver at exactly k applications.
+  3. per bucket, solve at exactly k applications with the three fused
+     Pallas kernels (Adam warm start, f32 LM ranking, double-single LM
+     polish — ops/pallas_chain.py) + true-f64 certification.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = rate / 167. Every counted target is certified below 1e-10
