@@ -55,9 +55,13 @@ def build(k):
 
 
 def solve_bucket(targets, solver, ansatz, key):
-    """Solve a bucket in fixed-size chunks (pad the tail by repetition)."""
+    """Solve a bucket in fixed-size chunks (pad the tail by repetition).
+
+    All chunks are launched before any is synced — the device queue then
+    pipelines chunk N+1's compute with chunk N's host-side gather."""
     n = len(targets)
     losses = np.empty(n)
+    futs = []
     for s in range(0, n, CHUNK):
         part = targets[s : s + CHUNK]
         valid = len(part)
@@ -70,6 +74,8 @@ def solve_bucket(targets, solver, ansatz, key):
             sub, (CHUNK, RESTARTS, ansatz.n_params), dtype=jnp.float64
         ) * (2 * np.pi)
         _, bf = solver(x0, cplx.from_numpy(part))
+        futs.append((s, valid, bf))
+    for s, valid, bf in futs:
         losses[s : s + valid] = np.asarray(bf)[:valid]
     return losses, key
 
