@@ -22,9 +22,6 @@ the wall clock changes.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
