@@ -114,7 +114,16 @@ def monodromy_reps_float(matrices: np.ndarray) -> np.ndarray:
 
     from slam_decomposition_tpu.ops import cplx, weyl
 
-    if jax.default_backend() == "tpu":
+    # Large batches ride the accelerator (mixed-precision eig); small calls
+    # stay on the pinned-CPU path — host-side analysis flows (transpile
+    # winner selection, coverage construction) probe ranges in tiny batches
+    # where per-dispatch device latency dominates by orders of magnitude
+    # (QFT-8 slam pass: 9 s on CPU vs 400+ s when small calls hit the TPU).
+    if (
+        jax.default_backend() == "tpu"
+        and np.asarray(matrices).ndim == 3
+        and len(matrices) >= 1024
+    ):
         return _monodromy_reps_tpu(np.asarray(matrices))
 
     if _MONODROMY_JIT is None:
@@ -176,9 +185,12 @@ def _monodromy_reps_tpu(arr: np.ndarray) -> np.ndarray:
         arr = arr[None]
     CHUNK = 8192  # big chunks: each dispatch through the device tunnel has
     # ~20 ms fixed latency, so fewer, larger launches win
+    SMALL = 256  # EVERY call is padded to one of exactly two shapes —
+    # each new shape costs a ~30-60 s remote AOT compile on this TPU, and
+    # transpile flows probe ranges at many different tiny batch sizes
     n = len(arr)
     if n <= CHUNK:
-        pad = CHUNK if n > 64 else n
+        pad = SMALL if n <= SMALL else CHUNK
         part = np.concatenate([arr, np.repeat(arr[:1], pad - n, 0)])
         reps = np.asarray(_MONODROMY_TPU_JIT(cplx.from_numpy(part)))[:n]
     else:
