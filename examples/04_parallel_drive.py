@@ -7,5 +7,7 @@ from slam_decomposition_tpu.models.trajectory import (
 
 traj = smush_trajectory(0, 0, np.pi/2, 0, [0.3, -0.2, 0.5, 0.1], [0.1, 0.4, -0.3, 0.2])
 print("trajectory through the chamber:\n", np.round(traj, 3))
-params, loss = improved_cx()
-print("solved parallel-driven CX pulse, loss:", loss)
+params, loss, (A1, B1, A2, B2) = improved_cx()
+print("solved parallel-driven CX pulse (1 application + exact 1Q locals), "
+      f"certified loss: {loss:.2e}")
+assert loss < 1e-10

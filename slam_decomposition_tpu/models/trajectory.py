@@ -68,16 +68,28 @@ def drive_pulse_for_target(
     t: float = 1.0,
     n_slices: int = 4,
     seed: int = 0,
-    restarts: int = 8,
+    restarts: int = 32,
     threshold: float = 1e-10,
+    mode: str = "class",
 ):
     """Solve for piecewise-constant 1Q drives realizing a target with ONE
-    parallel-driven application (no exterior 1Q gates): the construction
-    behind the reference's hardcoded ImprovedCX / ImprovedSWAP pulses
-    (pd_playground.py:247-339), computed on demand instead of hardcoded.
+    parallel-driven application: the construction behind the reference's
+    hardcoded ImprovedCX / ImprovedSWAP pulses (pd_playground.py:247-339),
+    computed on demand instead of hardcoded.
 
-    Returns (params, loss): params = [phi_c, phi_g, gx..., gy...].
+    ``mode="class"`` (default, the reference's actual semantics — its
+    ImprovedSWAP appends hardcoded U3 locals, pd_playground.py:289-339):
+    fit the pulse to the target's LOCAL-EQUIVALENCE class via the Makhlin
+    residual (far better conditioned than the exact-unitary fit), then
+    recover the exact outer 1Q locals by KAK sandwich. Returns
+    (params, class_loss, locals) with locals = (A1, B1, A2, B2) such that
+    (A2 (x) B2) @ U_pulse @ (A1 (x) B1) == target up to global phase.
+
+    ``mode="exact"``: legacy exact-unitary fit (no locals; requires the
+    pulse alone to hit the target — usually infeasible at small n_slices).
+    Returns (params, loss).
     """
+    from slam_decomposition_tpu.opt import costs as cost_lib
     from slam_decomposition_tpu.opt.gauss_newton import make_solver
 
     n_params = 2 + 2 * n_slices
@@ -87,28 +99,276 @@ def drive_pulse_for_target(
             x[0], x[1], gc, gg, x[2 : 2 + n_slices], x[2 + n_slices :], t=t
         )
 
-    solver = jax.jit(make_solver(eval_fn, n_params, adam_iters=400, lm_iters=12))
     tgt = cplx.from_numpy(np.asarray(target_u)[None])
-    key = jax.random.PRNGKey(seed)
-    x0 = jax.random.uniform(
-        key, (1, restarts, n_params), dtype=jnp.float64,
-        minval=-4 * np.pi, maxval=4 * np.pi,
+    rng = np.random.default_rng(seed)
+    # physically-scaled init: phases over a period, drive amplitudes O(few)
+    # (random +-4pi amplitudes land in a high-frequency regime the
+    # optimizer cannot descend)
+    x0 = np.zeros((1, restarts, n_params))
+    x0[..., :2] = rng.uniform(0, 2 * np.pi, (1, restarts, 2))
+    x0[..., 2:] = rng.uniform(-4.0, 4.0, (1, restarts, 2 * n_slices))
+    x0 = jnp.asarray(x0)
+
+    if mode == "exact":
+        solver = jax.jit(
+            make_solver(eval_fn, n_params, adam_iters=400, lm_iters=12)
+        )
+        bx, bf = solver(x0, tgt)
+        return np.asarray(bx[0]), float(bf[0])
+
+    solver = jax.jit(
+        make_solver(
+            eval_fn,
+            n_params,
+            adam_iters=400,
+            lm32_iters=16,
+            lm_iters=16,
+            residual="makhlin",
+            final_cost_fn=cost_lib.makhlin_functional_cost,
+        )
     )
     bx, bf = solver(x0, tgt)
-    return np.asarray(bx[0]), float(bf[0])
+    params, loss = np.asarray(bx[0]), float(bf[0])
+    # exact outer locals: target = (A2 x B2) U_pulse (A1 x B1) from the two
+    # KAK forms (same pattern as transpile/passes.py:393-404)
+    from slam_decomposition_tpu.transpile.kak import kak_form
+
+    P = cplx.to_numpy(eval_fn(jnp.asarray(params)))
+    bf_t = kak_form(np.asarray(target_u))
+    pf = kak_form(P)
+    A2 = bf_t.l1 @ pf.l1.conj().T
+    B2 = bf_t.r1 @ pf.r1.conj().T
+    A1 = pf.l2.conj().T @ bf_t.l2
+    B1 = pf.r2.conj().T @ bf_t.r2
+    # the class fit leaves ~sqrt(loss) coordinate error in the sandwich;
+    # polish the FULL parameterization (pulse + 12 local angles) from this
+    # near-converged seed down to certification depth (passes.py stage 2)
+    from slam_decomposition_tpu.ops import su2
+
+    def full_fn(x):
+        U = ham.smush_u(
+            x[0], x[1], gc, gg, x[2 : 2 + n_slices],
+            x[2 + n_slices : n_params], t=t,
+        )
+        p = x[n_params : n_params + 6]
+        L1 = cplx.kron(su2.u3(p[0], p[1], p[2]), su2.u3(p[3], p[4], p[5]))
+        p = x[n_params + 6 :]
+        L2 = cplx.kron(su2.u3(p[0], p[1], p[2]), su2.u3(p[3], p[4], p[5]))
+        return cplx.matmul(L2, cplx.matmul(U, L1))
+
+    seed_full = np.concatenate(
+        [
+            params,
+            np.array(su2.u3_angles(A1) + su2.u3_angles(B1)),
+            np.array(su2.u3_angles(A2) + su2.u3_angles(B2)),
+        ]
+    )
+    full = make_solver(full_fn, n_params + 12)
+    xs = full.polish(jnp.asarray(seed_full)[None], tgt, iters=10)
+    xf = np.asarray(xs[0])
+    Uf = cplx.to_numpy(full_fn(jnp.asarray(xf)))
+    tr = np.trace(np.asarray(target_u).conj().T @ Uf)
+    exact_loss = 1.0 - (abs(tr) ** 2 + 4.0) / 20.0
+    params = xf[:n_params]
+    loc = xf[n_params:]
+    A1, B1 = (
+        cplx.to_numpy(su2.u3(*loc[0:3])),
+        cplx.to_numpy(su2.u3(*loc[3:6])),
+    )
+    A2, B2 = (
+        cplx.to_numpy(su2.u3(*loc[6:9])),
+        cplx.to_numpy(su2.u3(*loc[9:12])),
+    )
+    return params, float(exact_loss), (A1, B1, A2, B2)
+
+
+def drive_sequence_for_target(
+    target_u: np.ndarray,
+    plan,
+    gc: float = np.pi / 2,
+    gg: float = 0.0,
+    n_slices: int = 4,
+    seed: int = 0,
+    restarts: int = 32,
+):
+    """Parallel-driven pulse SEQUENCE synthesis: pulse(t_1) [1q layer
+    pulse(t_j)]* with exact outer 1Q locals, solved to certification depth.
+
+    ``plan``: per-segment durations, e.g. [1.0] (ImprovedCX) or [1.0, 0.5]
+    (ImprovedSWAP — the reference's pd-iSwap + sqiSwap tail,
+    pd_playground.py:289-339, which its authors left unfinished: "could not
+    perfectly do so yet"). Two-stage fit as transpile/passes.py:414-470:
+    Makhlin class fit of the drive core, then full polish with the KAK
+    sandwich locals as seeds. Returns (params, certified_loss,
+    (A1, B1, A2, B2)) with (A2 x B2) @ core(params) @ (A1 x B1) == target.
+    """
+    from slam_decomposition_tpu.opt import costs as cost_lib
+    from slam_decomposition_tpu.opt.gauss_newton import make_solver
+    from slam_decomposition_tpu.ops import su2
+    from slam_decomposition_tpu.transpile.kak import kak_form
+
+    m = len(plan)
+    per = 2 + 2 * n_slices
+    n_core = m * per + max(m - 1, 0) * 6
+
+    def pulse(x, j):
+        p = x[j * per : (j + 1) * per]
+        return ham.smush_u(
+            p[0], p[1], gc, gg, p[2 : 2 + n_slices], p[2 + n_slices :],
+            t=plan[j],
+        )
+
+    def core_fn(x):
+        U = pulse(x, 0)
+        for j in range(1, m):
+            lo = m * per + (j - 1) * 6
+            p = x[lo : lo + 6]
+            L = cplx.kron(su2.u3(p[0], p[1], p[2]), su2.u3(p[3], p[4], p[5]))
+            U = cplx.matmul(pulse(x, j), cplx.matmul(L, U))
+        return U
+
+    tgt = cplx.from_numpy(np.asarray(target_u)[None])
+    rng = np.random.default_rng(seed)
+    x0 = rng.uniform(0, 2 * np.pi, (1, restarts, n_core))
+    for j in range(m):  # physically-scaled drive amplitudes
+        x0[..., j * per + 2 : (j + 1) * per] = rng.uniform(
+            -4.0, 4.0, (1, restarts, 2 * n_slices)
+        )
+    solver = jax.jit(
+        make_solver(
+            core_fn, n_core, adam_iters=400, lm32_iters=16, lm_iters=16,
+            residual="makhlin",
+            final_cost_fn=cost_lib.makhlin_functional_cost,
+        )
+    )
+    bx, _ = solver(jnp.asarray(x0), tgt)
+    params = np.asarray(bx[0])
+
+    P = cplx.to_numpy(core_fn(jnp.asarray(params)))
+    bf_t = kak_form(np.asarray(target_u))
+    pf = kak_form(P)
+    A2 = bf_t.l1 @ pf.l1.conj().T
+    B2 = bf_t.r1 @ pf.r1.conj().T
+    A1 = pf.l2.conj().T @ bf_t.l2
+    B1 = pf.r2.conj().T @ bf_t.r2
+
+    def full_fn(x):
+        U = core_fn(x[:n_core])
+        p = x[n_core : n_core + 6]
+        L1 = cplx.kron(su2.u3(p[0], p[1], p[2]), su2.u3(p[3], p[4], p[5]))
+        p = x[n_core + 6 :]
+        L2 = cplx.kron(su2.u3(p[0], p[1], p[2]), su2.u3(p[3], p[4], p[5]))
+        return cplx.matmul(L2, cplx.matmul(U, L1))
+
+    seed_full = np.concatenate(
+        [
+            params,
+            np.array(su2.u3_angles(A1) + su2.u3_angles(B1)),
+            np.array(su2.u3_angles(A2) + su2.u3_angles(B2)),
+        ]
+    )
+    full = make_solver(full_fn, n_core + 12)
+    xf = np.asarray(
+        full.polish(
+            full.polish(jnp.asarray(seed_full)[None], tgt, iters=12),
+            tgt,
+            iters=12,
+        )[0]
+    )
+
+    def exact_loss_of(x):
+        Uf = cplx.to_numpy(full_fn(jnp.asarray(x)))
+        tr = np.trace(np.asarray(target_u).conj().T @ Uf)
+        return 1.0 - (abs(tr) ** 2 + 4.0) / 20.0
+
+    exact_loss = exact_loss_of(xf)
+    if exact_loss > 1e-10:
+        # rescue: direct full-parameter solve (phase residual), polished
+        # seed as restart 0 — best of the two wins (passes.py:497-523)
+        rescue = jax.jit(
+            make_solver(
+                full_fn, n_core + 12, adam_iters=600, lm32_iters=16,
+                lm_iters=16,
+            )
+        )
+        rx0 = rng.uniform(-2 * np.pi, 2 * np.pi, (1, restarts, n_core + 12))
+        rx0[0, 0] = xf
+        rxs, _ = rescue(jnp.asarray(rx0), tgt)
+        cand = np.asarray(rxs[0])
+        if exact_loss_of(cand) < exact_loss:
+            xf = cand
+            exact_loss = exact_loss_of(xf)
+    loc = xf[n_core:]
+    locals_ = (
+        cplx.to_numpy(su2.u3(*loc[0:3])),
+        cplx.to_numpy(su2.u3(*loc[3:6])),
+        cplx.to_numpy(su2.u3(*loc[6:9])),
+        cplx.to_numpy(su2.u3(*loc[9:12])),
+    )
+    return xf[:n_core], float(exact_loss), locals_
 
 
 def improved_cx(gc=np.pi / 2, gg=0.0, t=1.0, n_slices=4, **kw):
     """Parallel-driven CX realization on an iSwap-strength coupler
-    (ImprovedCX, pd_playground.py:247-286)."""
+    (ImprovedCX, pd_playground.py:247-286): ONE driven application of
+    duration t plus exact 1Q locals, solved to certification depth."""
     from slam_decomposition_tpu.models.gates import CNOT
 
     return drive_pulse_for_target(CNOT.to_numpy(), gc, gg, t, n_slices, **kw)
 
 
-def improved_swap(gc=np.pi / 2, gg=0.0, t=1.5, n_slices=6, **kw):
+def improved_swap(gc=np.pi / 2, gg=0.0, n_slices=4, exact=False, **kw):
     """Parallel-driven SWAP realization (ImprovedSWAP,
-    pd_playground.py:289-339)."""
+    pd_playground.py:289-339): driven pulse(1.0) + 1q layer + driven
+    pulse(0.5) + exact locals — total 2Q duration 1.5 iSwap units, the
+    reference's pd-iSwap + sqiSwap construction.
+
+    The [1.0, 0.5] plan is TIME-OPTIMAL but only asymptotically exact: the
+    textbook SWAP needs an instantaneous local layer at coupler time 0.5,
+    i.e. INSIDE the 1.0 pulse, which finite-amplitude drives can only
+    approximate (~1e-5 infidelity — the same wall that left the reference's
+    ImprovedSWAP unfinished, pd_playground.py:313 "could not perfectly do
+    so yet"). ``exact=True`` instead solves the plan [0.5, 0.5, 0.5] with
+    drives frozen at zero — the standard 3x sqiSwap template solve, exact
+    to certification depth, at the cost of one extra 1Q layer of
+    duration."""
     from slam_decomposition_tpu.models.gates import SWAP
 
-    return drive_pulse_for_target(SWAP.to_numpy(), gc, gg, t, n_slices, **kw)
+    if not exact:
+        return drive_sequence_for_target(
+            SWAP.to_numpy(), [1.0, 0.5], gc=gc, gg=gg, n_slices=n_slices,
+            **kw
+        )
+    # exact path: zero-drive pulses are fixed sqiSwap-class gates, so this
+    # is the standard 3-application template solve (the flagship bench
+    # path) — solved WITHOUT the frozen pulse params in the search space
+    # (box-clamping them degrades LM to a projected method that plateaus)
+    from slam_decomposition_tpu.models.gates import _const_gate
+    from slam_decomposition_tpu.models.templates import build_ansatz
+    from slam_decomposition_tpu.opt.gauss_newton import make_solver
+    from slam_decomposition_tpu.ops import su2
+
+    zero = jnp.zeros(n_slices)
+    Pm = cplx.to_numpy(ham.smush_u(0.0, 0.0, gc, gg, zero, zero, t=0.5))
+    g = _const_gate("pd_sq_zero", 2, Pm)
+    a = build_ansatz([g, g, g])
+    solver = jax.jit(make_solver(a.eval_fn, a.n_params))
+    rng = np.random.default_rng(kw.get("seed", 0))
+    R = kw.get("restarts", 16)
+    x0 = jnp.asarray(rng.uniform(0, 2 * np.pi, (1, R, a.n_params)))
+    tgt = cplx.from_numpy(SWAP.to_numpy()[None])
+    bx, bf = solver(x0, tgt)
+    x = np.asarray(bx[0])
+    # map template layers onto sequence params: drives/phases zero,
+    # interior layers = L_1, L_2; exterior locals = L_0, L_3
+    per = 2 + 2 * n_slices
+    params = np.zeros(3 * per + 12)
+    params[3 * per : 3 * per + 6] = x[6:12]  # L_1
+    params[3 * per + 6 :] = x[12:18]  # L_2
+    locals_ = (
+        cplx.to_numpy(su2.u3(*x[0:3])),  # A1 (qubit 0 of L_0)
+        cplx.to_numpy(su2.u3(*x[3:6])),  # B1
+        cplx.to_numpy(su2.u3(*x[18:21])),  # A2 (qubit 0 of L_3)
+        cplx.to_numpy(su2.u3(*x[21:24])),  # B2
+    )
+    return params, float(bf[0]), locals_

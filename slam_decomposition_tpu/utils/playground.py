@@ -161,7 +161,7 @@ def improved_cx_trajectory(n_slices=4, R=5, **kw):
     (segments (n_slices, R, 3), baseline (2, 25, 3), loss)."""
     from slam_decomposition_tpu.models.trajectory import improved_cx
 
-    x, loss = improved_cx(n_slices=n_slices, **kw)
+    x, loss, _locals = improved_cx(n_slices=n_slices, **kw)
     ex = ParallelDriveExplorer(N=n_slices, R=R)
     gx = jnp.repeat(jnp.asarray(x[2 : 2 + n_slices]), R)
     gy = jnp.repeat(jnp.asarray(x[2 + n_slices :]), R)

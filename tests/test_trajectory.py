@@ -1,0 +1,49 @@
+"""Parallel-drive pulse synthesis (models/trajectory.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from slam_decomposition_tpu.models import hamiltonians as ham
+from slam_decomposition_tpu.models.gates import SWAP
+from slam_decomposition_tpu.models.trajectory import improved_swap
+from slam_decomposition_tpu.ops import cplx, su2, weyl
+
+
+def test_constant_drive_reaches_cnot_class():
+    """The reference's ImprovedCX claim (pd_playground.py:247-286):
+    a constant gx~3 drive riding the iSwap coupler lands on the CNOT
+    local-equivalence class."""
+    U = ham.smush_u(0.0, 0.0, np.pi / 2, 0.0, jnp.full((10,), 3.0),
+                    jnp.zeros(10), t=1.0)
+    c = np.asarray(weyl.c1c2c3((U[0][None], U[1][None])))[0]
+    assert abs(c[0] - 0.5) < 1e-6
+    assert abs(c[1]) < 0.01 and abs(c[2]) < 0.01
+
+
+def test_improved_swap_exact_certifies():
+    """The reference left ImprovedSWAP unfinished ("could not perfectly do
+    so yet", pd_playground.py:313); the exact 3-segment variant here must
+    certify, with the returned locals reconstructing SWAP independently."""
+    p, loss, (A1, B1, A2, B2) = improved_swap(exact=True, restarts=8)
+    assert loss < 1e-10
+    ns = 4
+    per = 2 + 2 * ns
+
+    def pulse(j):
+        pp = p[j * per : (j + 1) * per]
+        return ham.smush_u(
+            pp[0], pp[1], np.pi / 2, 0.0, pp[2 : 2 + ns], pp[2 + ns :], t=0.5
+        )
+
+    U = pulse(0)
+    for j in (1, 2):
+        lo = 3 * per + (j - 1) * 6
+        q = p[lo : lo + 6]
+        L = cplx.kron(su2.u3(q[0], q[1], q[2]), su2.u3(q[3], q[4], q[5]))
+        U = cplx.matmul(pulse(j), cplx.matmul(L, U))
+    Uf = np.kron(A2, B2) @ cplx.to_numpy(U) @ np.kron(A1, B1)
+    tr = np.trace(SWAP.to_numpy().conj().T @ Uf)
+    assert 1 - (abs(tr) ** 2 + 4) / 20 < 1e-10
+    # locals are unitary
+    for W in (A1, B1, A2, B2):
+        np.testing.assert_allclose(W @ W.conj().T, np.eye(2), atol=1e-9)
