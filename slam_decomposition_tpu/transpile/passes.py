@@ -378,6 +378,7 @@ def fit_substituted_pd(
     out = dict(subs)
     rng = np.random.default_rng(seed)
     per_pulse = 2 + 2 * n_slices
+    _exact_fallback: List[int] = []
 
     def zero_pulse(t):
         zero = np.zeros(n_slices)
@@ -528,6 +529,7 @@ def fit_substituted_pd(
             infid = infids[j]
             worst = max(worst, infid)
             if infid > threshold:
+                _exact_fallback.append(i)
                 continue
             old2q = [op for op in subs[i].ops if op.n_qubits == 2]
             new_c = Circuit(2)
@@ -556,14 +558,67 @@ def fit_substituted_pd(
                              duration=duration_1q)
             out[i] = new_c
             n_ok += 1
-        if n_ok < B:
-            logger.warning(
-                "fit_substituted_pd: %d/%d blocks above threshold (worst "
-                "%.2e); placeholders kept there", B - n_ok, B, worst,
-            )
         logger.info(
             "fit_substituted_pd: fitted %d/%d blocks with %d pulse(s) "
             "(worst block infidelity %.2e)", n_ok, B, m, worst,
+        )
+
+    if _exact_fallback:
+        # blocks the driven plan cannot reach at certification depth (e.g.
+        # SWAP-class blocks under the time-optimal [1.0, 0.5] plan: an
+        # instantaneous interior local layer is needed at coupler time 0.5,
+        # which finite drives only approximate — models/trajectory.py
+        # improved_swap discussion): fall back to the EXACT 3 x
+        # sqiSwap-time zero-drive template (one extra 1Q layer of
+        # duration), batched in one solve.
+        from slam_decomposition_tpu.models.gates import _const_gate
+        from slam_decomposition_tpu.models.templates import build_ansatz
+
+        Pm = zero_pulse(0.5)
+        a = build_ansatz([_const_gate("pd_sq_zero", 2, Pm)] * 3)
+        solve = jax.jit(make_solver(a.eval_fn, a.n_params))
+        tgts = cplx.from_numpy(
+            np.stack([blocks[i].unitary for i in _exact_fallback])
+        )
+        x0 = jnp.asarray(
+            rng.uniform(0, 2 * np.pi, (len(_exact_fallback), restarts, a.n_params))
+        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            xs, fs = solve(x0, tgts)
+        xs, fs = np.asarray(xs), np.asarray(fs)
+        n_rescued = 0
+        for j, i in enumerate(_exact_fallback):
+            if fs[j] > threshold:
+                continue
+            x = xs[j]
+            old2q = [op for op in subs[i].ops if op.n_qubits == 2]
+            base = old2q[0].duration if old2q else None
+            half = None if base is None else base * 0.5 / plans[i][0]
+            new_c = Circuit(2)
+            for li in range(4):
+                p = x[li * 6 : (li + 1) * 6]
+                for q in (0, 1):
+                    new_c.append(
+                        "u", (q,), params=tuple(p[q * 3 : (q + 1) * 3]),
+                        duration=duration_1q,
+                    )
+                if li < 3:
+                    new_c.append(
+                        "pd_pulse", (0, 1),
+                        params=(0.0, 0.0) + (0.0,) * (2 * n_slices),
+                        matrix=Pm, duration=half,
+                    )
+            out[i] = new_c
+            n_rescued += 1
+        if n_rescued < len(_exact_fallback):
+            logger.warning(
+                "fit_substituted_pd: %d blocks above threshold even after "
+                "the exact fallback; placeholders kept there",
+                len(_exact_fallback) - n_rescued,
+            )
+        logger.info(
+            "fit_substituted_pd: exact 3-segment fallback rescued %d/%d "
+            "driven-plan failures", n_rescued, len(_exact_fallback),
         )
     return out
 

@@ -264,3 +264,25 @@ def test_fidelity_faithful_substitution():
     # without the flag, substitution is duration-only (placeholders)
     out, _ = pass_manager_slam(ghz, duration_1q=0.25)
     assert gdist(out.to_matrix(), ghz.to_matrix()) > 1e-3
+
+
+def test_fidelity_faithful_substitution_swap_blocks():
+    """SWAP-class blocks defeat the time-optimal [1.0, 0.5] driven plan
+    (an interior instantaneous local layer is physically required — see
+    models/trajectory.improved_swap); the pass must rescue them through
+    the exact 3-segment fallback and stay unitary-preserving."""
+    import numpy as np
+
+    from slam_decomposition_tpu.transpile.ir import Circuit
+    from slam_decomposition_tpu.transpile.passes import (
+        pass_manager_optimized_sqiswap,
+    )
+
+    c = Circuit(3)
+    c.cx(0, 1)
+    c.swap(1, 2)
+    c.cx(0, 1)
+    U = c.to_matrix()
+    out, _ = pass_manager_optimized_sqiswap(c, duration_1q=0.25, fit_1q=True)
+    V = out.to_matrix()
+    assert 1 - abs(np.trace(V.conj().T @ U)) / U.shape[0] < 1e-9
