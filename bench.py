@@ -40,7 +40,7 @@ from slam_decomposition_tpu.opt.samplers import haar_sample
 from slam_decomposition_tpu.ops import cplx
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 2_500
 RESTARTS = 4
 THRESH = 1e-10
 NORTH_STAR_RATE = 10_000 / 60.0
