@@ -95,3 +95,80 @@ def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
     idx[axis] = slice(0, 1)
     filler = np.repeat(arr[tuple(idx)], rem, axis=axis)
     return np.concatenate([arr, filler], axis=axis), b
+
+
+def sharded_solver_smap(
+    ansatz: Ansatz,
+    mesh: Mesh,
+    adam_iters: int = 250,
+    lm_iters: int = 10,
+    lm32_iters: int = 8,
+    chain_gates=None,
+):
+    """shard_map variant of :func:`sharded_solver` with explicit
+    collectives — the form that runs the fused Pallas kernels per-device on
+    real pods (a pallas_call inside plain GSPMD-jit has no partitioning
+    rule; under shard_map it sees local shapes and needs none).
+
+    Layout: targets over 'dp', restarts over 'rp'. Each device runs the
+    full local pipeline (Adam + f32 LM + local restart ranking) on its
+    (B/dp, R/rp) shard; the global best-of-restarts crosses 'rp' with one
+    all_gather of (params, loss) per target row; the winner's polish is
+    computed redundantly on the rp ranks (cheap, keeps the result
+    replicated exactly as the out_spec requires).
+
+    Pass ``chain_gates=ansatz.chain_gates`` to engage the Pallas kernels
+    on TPU backends; on CPU meshes the same code rides the XLA path.
+    """
+    from slam_decomposition_tpu.opt.gauss_newton import make_solver
+    from slam_decomposition_tpu.ops import cplx
+
+    dp = mesh.shape["dp"]
+    rp = mesh.shape["rp"]
+    # local pipeline without the final polish (lm_iters=0): returns the
+    # best over LOCAL restarts
+    local_solve = make_solver(
+        ansatz.eval_fn,
+        ansatz.n_params,
+        adam_iters=adam_iters,
+        lm32_iters=lm32_iters,
+        lm_iters=0,
+        chain_gates=chain_gates,
+    )
+    polisher = make_solver(
+        ansatz.eval_fn,
+        ansatz.n_params,
+        adam_iters=0,
+        lm32_iters=0,
+        lm_iters=lm_iters,
+        chain_gates=chain_gates,
+    )
+
+    def final_cost(x, t0, t1):
+        V = ansatz.eval_fn(x)
+        tr = cplx.trace(cplx.matmul(cplx.dagger((t0, t1)), V))
+        d = V[0].shape[-1]
+        return 1.0 - (cplx.abs2(tr) + d) / (d * (d + 1.0))
+
+    def local(x0s, t0, t1):
+        xs, bf = local_solve(x0s, (t0, t1))  # (Bl, n), (Bl,)
+        xs_all = jax.lax.all_gather(xs, "rp")  # (rp, Bl, n)
+        bf_all = jax.lax.all_gather(bf, "rp")
+        best = jnp.argmin(bf_all, axis=0)
+        xw = jnp.take_along_axis(xs_all, best[None, :, None], axis=0)[0]
+        xw = polisher.polish(xw, (t0, t1))
+        bfw = jax.vmap(final_cost, in_axes=(0, 0, 0))(xw, t0, t1)
+        return xw, bfw
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", "rp", None), P("dp", None, None), P("dp", None, None)),
+        out_specs=(P("dp", None), P("dp")),
+        check_vma=False,
+    )
+
+    def solve(x0s, tgt):
+        return fn(x0s, tgt[0], tgt[1])
+
+    return jax.jit(solve)

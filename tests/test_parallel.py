@@ -20,6 +20,7 @@ from slam_decomposition_tpu.opt.samplers import haar_sample
 from slam_decomposition_tpu.ops import cplx
 from slam_decomposition_tpu.parallel.mesh import (
     make_mesh,
+    sharded_solver_smap,
     pad_to_multiple,
     sharded_solver,
 )
@@ -97,3 +98,27 @@ def test_sharded_solver_output_sharding():
     )
     # the argmin over restarts contracted 'rp': one row per target remains
     assert int(np.asarray(bf.sharding.shard_shape(bf.shape))[0]) == B // 4
+
+
+def test_sharded_solver_smap_matches_unsharded():
+    """The shard_map variant (explicit rp all_gather; the form that hosts
+    the Pallas kernels per-device on real pods) must agree with the
+    unsharded pipeline at identical hyperparameters."""
+    mesh = make_mesh(8, rp=2)
+    ansatz = build_ansatz(cycle_gates([gates.SQISWAP], 2))
+    B, R = 8, 4
+    targets = cplx.from_numpy(haar_sample(B, seed=11))
+    x0s = jnp.asarray(
+        np.random.default_rng(11).uniform(0, 2 * np.pi, (B, R, ansatz.n_params))
+    )
+    solver = sharded_solver_smap(
+        ansatz, mesh, adam_iters=40, lm_iters=4, lm32_iters=4
+    )
+    bx, bf = solver(x0s, targets)
+    plain = make_solver(
+        ansatz.eval_fn, ansatz.n_params, adam_iters=40, lm_iters=4,
+        lm32_iters=4,
+    )
+    bx_ref, bf_ref = jax.jit(plain)(x0s, targets)
+    assert bx.shape == (B, ansatz.n_params)
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(bf_ref), atol=1e-9)
