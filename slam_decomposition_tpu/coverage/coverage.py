@@ -402,6 +402,114 @@ def monodromy_range_from_target(
     raise ValueError("no coverage polytope contains the target")
 
 
+_KS_JIT_CACHE: dict = {}
+
+
+def monodromy_ks_batch(coverage, targets) -> np.ndarray:
+    """k-assignment only (the bench/bucketing hot path), device-resident:
+    coordinates AND halfspace membership run in one jitted call per chunk;
+    the host sees only the int32 k per target.
+
+    ``targets``: (N, 4, 4) complex numpy array or an on-device cplx pair —
+    the pair form avoids re-uploading targets the solver already holds
+    (the host<->device tunnel is the bottleneck at ~18 MB/s, not compute).
+    Non-TPU backends fall back to :func:`monodromy_ranges_batch`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slam_decomposition_tpu.ops import cplx, weyl
+
+    if jax.default_backend() != "tpu":
+        if not isinstance(targets, np.ndarray):
+            targets = cplx.to_numpy(targets)
+        return np.array(
+            [k for k, _ in monodromy_ranges_batch(coverage, targets)]
+        )
+
+    # ---- host-side layer tables (tiny; uploaded once per coverage)
+    layers = sorted([c for c in coverage if c.cost > 0], key=lambda c: c.cost)
+    subs = []  # (layer_idx, ineq rows, eq rows)
+    for li, cp in enumerate(layers):
+        cp.contains_float(np.zeros((1, 3)))
+        for ineq, eq in cp._float_rows:
+            subs.append((li, ineq, eq))
+    jmax = max(max((len(s[1]) for s in subs), default=1), 1)
+    emax = max(max((len(s[2]) for s in subs), default=0), 1)
+    S = len(subs)
+    A_in = np.tile(np.array([1.0, 0, 0, 0]), (S, jmax, 1))  # dummy: true
+    A_eq = np.zeros((S, emax, 4))  # dummy: |0| <= tol, true
+    onehot = np.zeros((S, len(layers)))
+    for s_i, (li, ineq, eq) in enumerate(subs):
+        if len(ineq):
+            A_in[s_i, : len(ineq)] = ineq
+        if len(eq):
+            A_eq[s_i, : len(eq)] = eq
+        onehot[s_i, li] = 1.0
+    ks_of_layer = np.array([len(cp.operations) for cp in layers])
+
+    key = (
+        A_in.shape,
+        A_eq.shape,
+        hash(A_in.tobytes()),
+        hash(A_eq.tobytes()),
+        hash(onehot.tobytes()),
+    )
+    if key not in _KS_JIT_CACHE:
+        Ain_d = jnp.asarray(A_in)
+        Aeq_d = jnp.asarray(A_eq)
+        onehot_d = jnp.asarray(onehot)
+
+        @jax.jit
+        def chunk_fn(U0, U1):
+            reps = weyl.monodromy_coords_mixed((U0, U1))[..., :3]  # (n,2,3)
+            tol = 1e-8
+            vals = Ain_d[:, :, 0][None, None] + jnp.einsum(
+                "nrk,sjk->nrsj", reps, Ain_d[:, :, 1:]
+            )
+            ok = (vals >= -tol).all(-1)
+            evals = Aeq_d[:, :, 0][None, None] + jnp.einsum(
+                "nrk,sjk->nrsj", reps, Aeq_d[:, :, 1:]
+            )
+            ok = ok & (jnp.abs(evals) <= tol).all(-1)
+            member = ((ok.any(1).astype(jnp.float32)) @ onehot_d) > 0  # (n,L)
+            first = jnp.argmax(member, axis=1)
+            assigned = member.any(axis=1)
+            is_id = (jnp.abs(reps) < 1e-9).all(-1).any(-1)
+            idx = jnp.where(is_id, -1, jnp.where(assigned, first, -2))
+            return idx.astype(jnp.int32)
+
+        _KS_JIT_CACHE[key] = chunk_fn
+    chunk_fn = _KS_JIT_CACHE[key]
+
+    if isinstance(targets, np.ndarray):
+        targets = cplx.from_numpy(targets)
+    T0, T1 = targets
+    n = T0.shape[0]
+    CHUNK = 8192
+    SMALL = 256
+    futs = []
+    s = 0
+    while s < n:
+        size = SMALL if n - s <= SMALL else CHUNK
+        part0, part1 = T0[s : s + size], T1[s : s + size]
+        m = part0.shape[0]
+        if m < size:
+            part0 = jnp.concatenate(
+                [part0, jnp.broadcast_to(part0[:1], (size - m, 4, 4))]
+            )
+            part1 = jnp.concatenate(
+                [part1, jnp.broadcast_to(part1[:1], (size - m, 4, 4))]
+            )
+        futs.append((chunk_fn(part0, part1), m))
+        s += m
+    idx = np.concatenate([np.asarray(f)[:m] for f, m in futs])
+    if (idx == -2).any():
+        raise ValueError("no coverage polytope contains some targets")
+    ks = np.where(idx < 0, 0, ks_of_layer[np.maximum(idx, 0)])
+    return ks
+
+
 def monodromy_ranges_batch(
     coverage: Sequence[CircuitPolytope], targets: np.ndarray
 ) -> List[Tuple[int, CircuitPolytope]]:
