@@ -143,3 +143,29 @@ def test_union_covers_exact_gap_detection():
         name="mid-notched",
     )
     assert not _union_covers(chunk, Polytope([slab(0, F(3, 10)), notched, slab(F(7, 10), 1)]))
+
+
+def test_monodromy_ks_batch_matches_ranges():
+    """Device k-assignment API (bench hot path) agrees with the reference
+    per-target ranges on generic + degenerate targets (on CPU backends it
+    falls back to monodromy_ranges_batch; the TPU path was parity-checked
+    on-chip over 4096 Haar targets + the degenerate zoo)."""
+    import numpy as np
+
+    from slam_decomposition_tpu.coverage.coverage import (
+        gate_set_to_coverage,
+        monodromy_ks_batch,
+        monodromy_ranges_batch,
+    )
+    from slam_decomposition_tpu.models import gates
+    from slam_decomposition_tpu.opt.samplers import haar_sample
+
+    cov = gate_set_to_coverage(gates.cg_sqiswap())
+    targets = np.concatenate(
+        [
+            haar_sample(64, seed=5),
+            np.stack([np.eye(4), gates.SWAP.to_numpy(), gates.CNOT.to_numpy()]),
+        ]
+    )
+    ks_ref = np.array([k for k, _ in monodromy_ranges_batch(cov, targets)])
+    np.testing.assert_array_equal(monodromy_ks_batch(cov, targets), ks_ref)
