@@ -297,7 +297,12 @@ class TemplateOptimizer:
             if not active.any():
                 continue
             ansatz = self.builder(k)
-            solver = self._make_solver(ansatz, B, self.training_restarts)
+            # fixed-size chunking: every jit shape (kernels included) costs
+            # a fresh device compile (~minutes on the remote TPU
+            # toolchain), so batches are padded to one of a few power-of-2
+            # chunk shapes instead of compiling per exact batch size
+            CH = min(2048, 1 << max(int(np.ceil(np.log2(max(B, 1)))), 0))
+            solver = self._make_solver(ansatz, CH, self.training_restarts)
             key, sub = jax.random.split(key)
             x0s = self._init_params(sub, ansatz, B, self.training_restarts)
             if self.preseed_store is not None and len(self.preseed_store):
@@ -308,9 +313,30 @@ class TemplateOptimizer:
                     x0s = np.array(x0s)  # writable copy
                     x0s[ok, 0, :] = seeds[ok]
                     x0s = jnp.asarray(x0s)
-            xs, fs, _ = solver(x0s, tgt)
-            xs = np.asarray(xs)
-            fs = np.asarray(fs)
+            xs = np.empty((B, ansatz.n_params))
+            fs = np.empty(B)
+            futs = []
+            for s in range(0, B, CH):
+                e = min(s + CH, B)
+                m = e - s
+                x0c = x0s[s:e]
+                t0c, t1c = tgt[0][s:e], tgt[1][s:e]
+                if m < CH:
+                    reps = CH - m
+                    x0c = jnp.concatenate(
+                        [x0c, jnp.broadcast_to(x0c[:1], (reps,) + x0c.shape[1:])]
+                    )
+                    t0c = jnp.concatenate(
+                        [t0c, jnp.broadcast_to(t0c[:1], (reps,) + t0c.shape[1:])]
+                    )
+                    t1c = jnp.concatenate(
+                        [t1c, jnp.broadcast_to(t1c[:1], (reps,) + t1c.shape[1:])]
+                    )
+                xs_c, fs_c, _ = solver(x0c, (t0c, t1c))
+                futs.append((s, m, xs_c, fs_c))
+            for s, m, xs_c, fs_c in futs:
+                xs[s : s + m] = np.asarray(xs_c)[:m]
+                fs[s : s + m] = np.asarray(fs_c)[:m]
             improve = active & (fs < best_loss)
             best_loss = np.where(improve, fs, best_loss)
             best_k = np.where(improve, k, best_k)
