@@ -420,6 +420,11 @@ def monodromy_ks_batch(coverage, targets) -> np.ndarray:
 
     from slam_decomposition_tpu.ops import cplx, weyl
 
+    if isinstance(targets, np.ndarray):
+        targets = np.asarray(targets)
+        if targets.ndim == 2:  # auto-batch a single (4,4) like the siblings
+            targets = targets[None]
+
     if jax.default_backend() != "tpu":
         if not isinstance(targets, np.ndarray):
             targets = cplx.to_numpy(targets)

@@ -568,6 +568,14 @@ def make_polish_chain(
 
     @jax.jit
     def run(x0, tgt_re, tgt_im):
+        # df64.sincos is only valid for |x| < ~2000 (quadrant index must be
+        # exact in f32). All chain parameters are u3 angles, and u3 is
+        # exactly invariant under any angle += 4*pi (theta enters as
+        # theta/2; phi/lambda as phases), so reduce mod 4*pi in true f64
+        # BEFORE the hi/lo split — guarantees the precondition regardless
+        # of how far Adam/LM wandered.
+        four_pi = jnp.asarray(4.0 * np.pi, dtype=x0.dtype)
+        x0 = x0 - four_pi * jnp.round(x0 / four_pi)
         L = x0.shape[0]
         nt = -(-L // tb)
         pad = nt * tb - L
