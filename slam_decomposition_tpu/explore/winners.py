@@ -30,8 +30,52 @@ def pick_winner(
     smush: bool = False,
     family_extension: bool = False,
 ) -> Tuple[Gate, Gate]:
-    """Returns (winner_gate, winner_scaled_gate)."""
+    """Returns (winner_gate, winner_scaled_gate).
+
+    When the per-(method, duration_1q[,fam][,smush]) scaled-score group has
+    been precomputed (explore.scaling.cost_scaling), selection is a pure h5
+    lookup — no per-candidate rescoring (the reference's intended
+    cost_scaling/pick_winner split, duraton_scaling.py:107-188 +
+    winner_selection.py:17).
+    """
     speed_method, duration_1q = get_method_duration(group_name)
+
+    if target_ops is None and (
+        (metric in (0, 1, 2) and not (family_extension and metric == 0))
+        or (isinstance(metric, tuple) and metric[0] == -1)
+    ):
+        from slam_decomposition_tpu.explore.scaling import (
+            load_scaled,
+            scaled_gate_for,
+        )
+
+        cached = load_scaled(
+            speed_method, duration_1q, family_extension, smush
+        )
+        if cached is not None:
+            best = None
+            for params, scaled in cached:
+                if isinstance(metric, tuple):
+                    if len(scaled) < 3:
+                        continue
+                    lam = metric[1]
+                    # linear in the scaled scores: lam*S1+(1-lam)*S2 ==
+                    # atomic_cost_scaling applied to the bare mix
+                    score = lam * scaled[1] + (1 - lam) * scaled[2]
+                else:
+                    if metric >= len(scaled):
+                        continue
+                    score = float(scaled[metric])
+                if best is None or score < best[0]:
+                    best = (score, params)
+            if best is not None:
+                winner_gate = G.conversion_gain_gate(*best[1])
+                winner_scaled = scaled_gate_for(best[1], speed_method)
+                logger.info(
+                    "winner %s score %.4f (cached)", winner_gate, best[0]
+                )
+                return winner_gate, winner_scaled
+
     candidates = load_candidates()
     winner = None
     winner_score = None

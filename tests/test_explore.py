@@ -130,3 +130,92 @@ def test_exact_clifford_group_sizes():
 
     assert len(_clifford_group(1)) == 24
     assert len(_clifford_group(2)) == 11520
+
+
+# ------------------------------------------------ scaled-score cache (h5)
+
+
+def _fake_bare_db(tmp_path, monkeypatch):
+    """Point the DB at a tmp file with 3 synthetic bare candidates."""
+    import h5py
+
+    from slam_decomposition_tpu.explore import candidates as cand
+
+    path = str(tmp_path / "cg_gates.h5")
+    rows = [
+        # (params, [haar, cnot, swap]) — params = (p1,p2,gc,gg,t)
+        ((0, 0, np.pi / 4, np.pi / 4, 1.0), [2.2, 2.0, 3.0]),  # B family
+        ((0, 0, 0.0, np.pi / 2, 1.0), [2.5, 2.0, 3.0]),  # iSwap family
+        ((0, 0, 0.1, 0.7, 1.0), [3.1, 3.0, 3.0]),  # generic (non-family)
+    ]
+    with h5py.File(path, "w") as hf:
+        g = hf.require_group("bare_cost")
+        for params, scores in rows:
+            key = G.cg_hash(params[2], params[3], params[4])
+            g.create_dataset(
+                key,
+                data=np.array([list(params), list(scores) + [-1, -1]]),
+            )
+    monkeypatch.setattr(cand, "H5_PATH", path)
+    return path, rows
+
+
+def test_cost_scaling_cache_and_pick_winner_lookup(tmp_path, monkeypatch):
+    from slam_decomposition_tpu.explore import winners
+    from slam_decomposition_tpu.explore.scaling import (
+        atomic_cost_scaling,
+        cost_scaling,
+        load_scaled,
+    )
+
+    _, rows = _fake_bare_db(tmp_path, monkeypatch)
+
+    written = cost_scaling("linear", 0.25)
+    assert written == 3
+    cached = load_scaled("linear", 0.25)
+    assert cached is not None and len(cached) == 3
+    # cached values equal the atomic computation
+    by_params = {tuple(np.round(p, 8)): s for p, s in cached}
+    for params, scores in rows:
+        _, expect = atomic_cost_scaling(
+            params, np.array(scores), "linear", 0.25
+        )
+        got = by_params[tuple(np.round(params, 8))]
+        np.testing.assert_allclose(got[:3], expect, rtol=1e-12)
+
+    # second cost_scaling call is a no-op (skip-resume)
+    assert cost_scaling("linear", 0.25) == 0
+
+    # pick_winner must now be a PURE lookup: poison the rescoring path
+    monkeypatch.setattr(
+        winners, "load_candidates",
+        lambda: (_ for _ in ()).throw(AssertionError("rescored!")),
+    )
+    g1, _ = winners.pick_winner("linear_scaling_1q0.25", metric=1)
+    # expected winner under metric 1 (scaled cnot): argmin over cached
+    best = min(rows, key=lambda r: atomic_cost_scaling(
+        r[0], np.array(r[1]), "linear", 0.25)[1][1])
+    assert np.allclose(g1.params, best[0])
+    # lambda mix rides the same cache (linearity of the scaling)
+    g2, _ = winners.pick_winner("linear_scaling_1q0.25", metric=(-1, 0.5))
+    assert g2 is not None
+
+
+def test_cost_scaling_resume_after_kill(tmp_path, monkeypatch):
+    import h5py
+
+    from slam_decomposition_tpu.explore import candidates as cand
+    from slam_decomposition_tpu.explore.scaling import (
+        cost_scaling,
+        scaled_group_name,
+    )
+
+    path, _ = _fake_bare_db(tmp_path, monkeypatch)
+    assert cost_scaling("linear", 0.0) == 3
+    # simulate a killed sweep: remove one finished row
+    group = scaled_group_name("linear", 0.0)
+    with h5py.File(path, "a") as hf:
+        key = list(hf[group].keys())[0]
+        del hf[group][key]
+    # resume recomputes ONLY the missing row
+    assert cost_scaling("linear", 0.0) == 1
