@@ -190,6 +190,120 @@ def mutual_information_cost(U: cplx.CMat, state: str = "w", square: bool = False
     return total
 
 
+def _rho_of(U: cplx.CMat, state: str):
+    """Density matrix of U|prep> for the 3Q W/GHZ prep states."""
+    dtype = U[0].dtype
+    psi = _w_state(dtype) if state == "w" else _ghz_state(dtype)
+    out = cplx.matvec(U, psi)
+    return (
+        out[0][:, None] * out[0][None, :] + out[1][:, None] * out[1][None, :],
+        out[1][:, None] * out[0][None, :] - out[0][:, None] * out[1][None, :],
+    )
+
+
+def _partial_transpose(rho: cplx.CMat, q: int):
+    """Partial transpose over qubit q of a 3Q (8,8) density matrix: swap
+    that qubit's bra and ket indices (a pure index permutation, so the
+    re/im parts permute identically)."""
+
+    def pt(part):
+        t = part.reshape(2, 2, 2, 2, 2, 2)
+        return jnp.swapaxes(t, q, q + 3).reshape(8, 8)
+
+    return pt(rho[0]), pt(rho[1])
+
+
+def _reduced_1q(rho: cplx.CMat, q: int):
+    """Single-qubit reduced state: trace out the two qubits != q."""
+    others = [a for a in range(3) if a != q]
+
+    def red(part):
+        t = part.reshape(2, 2, 2, 2, 2, 2)
+        for a in sorted(others, reverse=True):
+            t = jnp.trace(t, axis1=a, axis2=a + t.ndim // 2)
+        return t
+
+    return red(rho[0]), red(rho[1])
+
+
+def negativity_cost(U: cplx.CMat, state: str = "w"):
+    """Sum over the three 1|2 cuts of the negativity
+    N = (||rho^{T_q}||_1 - 1)/2 of U|prep>.
+
+    The reference DECLARED this monotone but never implemented it
+    (cost_function.py:102-104 returns the bare statevector); here it is
+    real and differentiable (Hermitian eigendecomposition of the partial
+    transpose). Zero iff the output state is PPT across every cut — for
+    pure states, iff it is a product state on each cut.
+    """
+    from slam_decomposition_tpu.ops.eig import eigh_hermitian
+
+    rho = _rho_of(U, state)
+    total = 0.0
+    for q in range(3):
+        w, _ = eigh_hermitian(_partial_transpose(rho, q))
+        total = total + (jnp.sum(jnp.abs(w)) - 1.0) / 2.0
+    return total
+
+
+def entropy_of_entanglement_cost(U: cplx.CMat, state: str = "w"):
+    """Sum over the three 1|2 cuts of the entropy of entanglement
+    S(rho_q) of the pure output state (reference stub
+    cost_function.py:112-114, never implemented)."""
+    rho = _rho_of(U, state)
+    total = 0.0
+    for q in range(3):
+        total = total + _entropy(_reduced_1q(rho, q))
+    return total
+
+
+_YY = np.array(
+    [[0, 0, 0, -1], [0, 0, 1, 0], [0, 1, 0, 0], [-1, 0, 0, 0]], dtype=float
+)
+
+
+def _concurrence_2q(rho2: cplx.CMat):
+    """Wootters concurrence of a 2Q mixed state, Hermitian-only linear
+    algebra: lambda_i = sqrt(eig(sqrt(rho) rho~ sqrt(rho))) with
+    rho~ = (YoY) rho* (YoY); C = max(0, l1 - l2 - l3 - l4)."""
+    from slam_decomposition_tpu.ops.eig import eigh_hermitian
+
+    yy = (jnp.asarray(_YY, dtype=rho2[0].dtype), jnp.zeros_like(rho2[0]))
+    rho_t = cplx.matmul(yy, cplx.matmul(cplx.conj(rho2), yy))
+    w, V = eigh_hermitian(rho2)
+    s = jnp.sqrt(jnp.clip(w, 0.0, None))
+    sq = (V[0] * s[None, :], V[1] * s[None, :])  # V diag(s)
+    sqrt_rho = cplx.matmul(sq, cplx.dagger(V))
+    M = cplx.matmul(sqrt_rho, cplx.matmul(rho_t, sqrt_rho))
+    lam2, _ = eigh_hermitian(M)
+    lam = jnp.sqrt(jnp.clip(lam2, 0.0, None))  # ascending
+    return jnp.clip(lam[3] - lam[2] - lam[1] - lam[0], 0.0, None)
+
+
+def _binary_entropy(x):
+    x = jnp.clip(x, 1e-12, 1 - 1e-12)
+    return -x * jnp.log2(x) - (1 - x) * jnp.log2(1 - x)
+
+
+def entanglement_of_formation_cost(U: cplx.CMat, state: str = "w"):
+    """Sum of pairwise entanglement of formation over the three 2Q reduced
+    states of U|prep> (Wootters closed form EoF = h((1+sqrt(1-C^2))/2)).
+
+    Reference stub cost_function.py:106-110, never implemented. Note the
+    known physics: pairwise EoF vanishes on GHZ (its entanglement is
+    purely tripartite) — use the W prep state for a disentangling cost.
+    """
+    rho = _rho_of(U, state)
+    total = 0.0
+    for q in range(3):
+        rho2 = _partial_trace_single(rho, q)
+        C = _concurrence_2q(rho2)
+        total = total + _binary_entropy((1 + jnp.sqrt(1 - C * C)) / 2) * (
+            C > 1e-12
+        )
+    return total
+
+
 COSTS = {
     "basic": basic_cost,
     "basic_inverse": basic_cost_inverse,
@@ -200,4 +314,17 @@ COSTS = {
     "basic_reduced": basic_reduced_cost,
     "square_reduced": square_reduced_cost,
     "square_reduced_bell": square_reduced_bell_cost,
+}
+
+# 3Q entanglement-monotone costs on W/GHZ prep states (reference
+# cost_function.py:68-114; negativity/formation/entropy were dead stubs
+# there — all real here)
+COSTS_3Q = {
+    "mutual_information": mutual_information_cost,
+    "mutual_information_square": lambda U, state="w": mutual_information_cost(
+        U, state, square=True
+    ),
+    "negativity": negativity_cost,
+    "entanglement_of_formation": entanglement_of_formation_cost,
+    "entropy_of_entanglement": entropy_of_entanglement_cost,
 }

@@ -110,3 +110,80 @@ def test_ghz_mutual_information_state():
     eye8 = cplx.from_numpy(np.eye(8))
     mi = float(costs.mutual_information_cost(eye8, state="ghz"))
     assert mi > 1.0
+
+
+# ------------------------- implemented entanglement monotones (ref stubs)
+
+
+def _np_negativity_sum(psi):
+    """Independent numpy check: sum over the 3 cuts of
+    (||rho^{T_q}||_1 - 1)/2."""
+    rho = np.outer(psi, psi.conj())
+    total = 0.0
+    for q in range(3):
+        t = rho.reshape((2,) * 6)
+        pt = np.swapaxes(t, q, q + 3).reshape(8, 8)
+        total += (np.abs(np.linalg.eigvalsh(pt)).sum() - 1) / 2
+    return total
+
+
+def test_negativity_known_values():
+    eye8 = cplx.from_numpy(np.eye(8))
+    # GHZ: N = 1/2 per cut -> 1.5 total; W: sqrt(2)/3 per cut
+    n_ghz = float(costs.negativity_cost(eye8, state="ghz"))
+    assert abs(n_ghz - 1.5) < 1e-7
+    n_w = float(costs.negativity_cost(eye8, state="w"))
+    assert abs(n_w - 3 * np.sqrt(2) / 3) < 1e-7
+
+
+def test_negativity_matches_numpy_on_random_unitary():
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8))
+    U, _ = np.linalg.qr(z)
+    w = np.zeros(8, dtype=complex)
+    w[[1, 2, 4]] = 1 / np.sqrt(3)
+    got = float(costs.negativity_cost(cplx.from_numpy(U), state="w"))
+    expect = _np_negativity_sum(U @ w)
+    assert abs(got - expect) < 1e-8
+
+
+def test_entropy_of_entanglement_known_values():
+    eye8 = cplx.from_numpy(np.eye(8))
+    # GHZ: every 1q reduction is maximally mixed -> S = 1 per cut
+    s_ghz = float(costs.entropy_of_entanglement_cost(eye8, state="ghz"))
+    assert abs(s_ghz - 3.0) < 1e-6
+    # W: 1q reduction diag(2/3, 1/3) -> h(1/3) per cut
+    h13 = -(2 / 3) * np.log2(2 / 3) - (1 / 3) * np.log2(1 / 3)
+    s_w = float(costs.entropy_of_entanglement_cost(eye8, state="w"))
+    assert abs(s_w - 3 * h13) < 1e-6
+
+
+def test_entanglement_of_formation_known_values():
+    eye8 = cplx.from_numpy(np.eye(8))
+    # W: pairwise concurrence 2/3 -> EoF = h((1+sqrt(5)/3)/2) per pair
+    x = (1 + np.sqrt(1 - 4 / 9)) / 2
+    h = -x * np.log2(x) - (1 - x) * np.log2(1 - x)
+    e_w = float(costs.entanglement_of_formation_cost(eye8, state="w"))
+    assert abs(e_w - 3 * h) < 1e-6
+    # GHZ: pairwise reduced states are separable -> EoF = 0 (known physics)
+    e_ghz = float(costs.entanglement_of_formation_cost(eye8, state="ghz"))
+    assert e_ghz < 1e-6
+
+
+def test_monotones_vanish_when_disentangled():
+    """All three implemented monotones hit 0 after undoing the W prep."""
+    from slam_decomposition_tpu.transpile.ir import Circuit
+
+    prep = Circuit(3)
+    prep.ry(2 * np.arccos(1 / np.sqrt(3)), 0)
+    ch = np.eye(4, dtype=complex)
+    H = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+    ch[2:, 2:] = H
+    prep.unitary(ch, (0, 1), name="ch")
+    prep.cx(1, 2)
+    prep.cx(0, 1)
+    prep.x(0)
+    Udag = cplx.from_numpy(prep.to_matrix().conj().T)
+    assert float(costs.negativity_cost(Udag, state="w")) < 1e-7
+    assert float(costs.entropy_of_entanglement_cost(Udag, state="w")) < 1e-6
+    assert float(costs.entanglement_of_formation_cost(Udag, state="w")) < 1e-6
