@@ -48,6 +48,10 @@ class WeylChamberAxes:
             fig = plt.figure()
             ax = fig.add_subplot(111, projection="3d")
         self.ax = ax
+        self.draw_chamber()
+
+    def draw_chamber(self):
+        ax = self.ax
         for (i, j) in self.EDGES:
             seg = self.VERTICES[[i, j]]
             ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], "k-", lw=0.5)
@@ -113,6 +117,49 @@ def coordinate_2dlist_weyl(*coord_lists, colors=None, no_bar=False):
         if colors is not None:
             kw["c"] = colors[i % len(colors)]
         w.scatter(np.asarray(coords), s=4, **kw)
+    return w
+
+
+def plot_hamiltonian_sweep(
+    matrix, title="Hamiltonian Sweep", labels=None, rounder=2, vmin=0, vmax=1
+):
+    """Annotated heatmap of a 2D Hamiltonian-parameter sweep
+    (plotHamiltonianSweep, reference visualize.py:30-50): |value| colormap
+    with each cell annotated by its rounded value; ``labels`` follows the
+    reference's convention of a grid of (row, col) parameter pairs."""
+    plt = _require_mpl()
+    arr = np.asarray(matrix)
+    fig, ax = plt.subplots(figsize=(7, 7))
+    pm = ax.imshow(np.abs(arr), interpolation="nearest", vmin=vmin, vmax=vmax)
+    ax.set_title(title)
+    if labels is not None:
+        m_labels = np.arange(arr.shape[1])
+        n_labels = np.arange(arr.shape[0])
+        ax.set_xticks(m_labels)
+        ax.set_xticklabels([labels[0][n][1] for n in m_labels])
+        ax.set_yticks(n_labels)
+        ax.set_yticklabels([labels[n][0][0] for n in n_labels])
+    for (j, i), val in np.ndenumerate(arr):
+        ax.text(i, j, np.round(val, rounder), ha="center", va="center")
+    fig.colorbar(pm, ax=ax)
+    return fig
+
+
+def update_coordinate_2dlist_weyl(w, *coord_lists, colors=None):
+    """Live-update variant of :func:`coordinate_2dlist_weyl` (reference
+    visualize.py:214-229): clear the chamber axes and re-scatter, reusing
+    the same figure — for notebook-style monitoring of a running sweep.
+    ``w`` is the WeylChamberAxes returned by the initial call."""
+    w.ax.cla()
+    w.draw_chamber()
+    for i, coords in enumerate(coord_lists):
+        if len(coords) == 0:
+            continue
+        kw = {}
+        if colors is not None:
+            kw["c"] = colors[i % len(colors)]
+        w.scatter(np.asarray(coords), s=4, **kw)
+    w.ax.figure.canvas.draw_idle()
     return w
 
 

@@ -72,3 +72,27 @@ def test_optimizer_history_feeds_plot(tmp_path):
     assert hist.ndim == 3  # (B, R, iters)
     fig = V.optimizer_training_plot(list(hist[0]))
     fig.savefig(tmp_path / "h.png")
+
+
+def test_hamiltonian_sweep_grid(tmp_path):
+    """plotHamiltonianSweep parity (reference visualize.py:30-50):
+    annotated heatmap with parameter labels."""
+    vals = np.array([[0.1, 0.9], [0.55, 0.3]])
+    labels = [
+        [(0.0, 0.0), (0.0, 1.0)],
+        [(1.0, 0.0), (1.0, 1.0)],
+    ]
+    fig = V.plot_hamiltonian_sweep(vals, labels=labels, title="sweep")
+    fig.savefig(tmp_path / "sweep.png")
+
+
+def test_live_update_chamber_scatter(tmp_path):
+    """Live-update scatter parity (reference visualize.py:214-229): the
+    same figure object is reused across updates."""
+    w = V.coordinate_2dlist_weyl([[0.5, 0.0, 0.0]])
+    fig0 = w.ax.figure
+    w = V.update_coordinate_2dlist_weyl(
+        w, [[0.25, 0.25, 0.0], [0.5, 0.5, 0.5]], colors=["m"]
+    )
+    assert w.ax.figure is fig0
+    fig0.savefig(tmp_path / "live.png")
