@@ -65,6 +65,7 @@ class TemplateOptimizer:
         method: str = "auto",
         preseed: bool = False,
         preseed_key: Optional[str] = None,
+        chunk_size: Optional[int] = None,
     ):
         """method: 'auto' uses the scan-based Adam+LM pipeline
         (opt/gauss_newton.py — the TPU-fast path) for unconstrained
@@ -92,6 +93,7 @@ class TemplateOptimizer:
         )
         self.max_iters = max_iters if max_iters is not None else config.max_opt_iters
         self.seed = seed
+        self.chunk_size = chunk_size
         self.override_fail = override_fail
         self.constraint_max_cost = constraint_max_cost
         self.penalty_weight = penalty_weight
@@ -300,8 +302,12 @@ class TemplateOptimizer:
             # fixed-size chunking: every jit shape (kernels included) costs
             # a fresh device compile (~minutes on the remote TPU
             # toolchain), so batches are padded to one of a few power-of-2
-            # chunk shapes instead of compiling per exact batch size
-            CH = min(2048, 1 << max(int(np.ceil(np.log2(max(B, 1)))), 0))
+            # chunk shapes instead of compiling per exact batch size.
+            # chunk_size override exists so tests can pin the multi-chunk
+            # dispatch (B > CH with a padded tail) at CPU-friendly sizes.
+            CH = self.chunk_size or min(
+                2048, 1 << max(int(np.ceil(np.log2(max(B, 1)))), 0)
+            )
             solver = self._make_solver(ansatz, CH, self.training_restarts)
             key, sub = jax.random.split(key)
             x0s = self._init_params(sub, ansatz, B, self.training_restarts)

@@ -169,3 +169,45 @@ def test_monodromy_ks_batch_matches_ranges():
     )
     ks_ref = np.array([k for k, _ in monodromy_ranges_batch(cov, targets)])
     np.testing.assert_array_equal(monodromy_ks_batch(cov, targets), ks_ref)
+
+
+import jax as _jax
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    _jax.default_backend() != "tpu",
+    reason="on-chip parity for the TPU k-assignment path (CPU backends "
+    "take the monodromy_ranges_batch fallback inside monodromy_ks_batch)",
+)
+def test_monodromy_ks_batch_on_tpu_parity_4096():
+    """TPU device path (mixed-precision coords + on-device halfspace
+    membership) vs the host fallback over 4096 Haar targets + the
+    degenerate zoo — the bench's k-assignment correctness, now in CI."""
+    import numpy as np
+
+    from slam_decomposition_tpu.coverage.coverage import (
+        gate_set_to_coverage,
+        monodromy_ks_batch,
+        monodromy_ranges_batch,
+    )
+    from slam_decomposition_tpu.models import gates
+    from slam_decomposition_tpu.opt.samplers import haar_sample
+
+    cov = gate_set_to_coverage(gates.cg_sqiswap())
+    degenerate = np.stack(
+        [
+            np.eye(4),
+            gates.SWAP.to_numpy(),
+            gates.CNOT.to_numpy(),
+            gates.ISWAP.to_numpy(),
+            gates.SQISWAP.to_numpy(),
+            gates.berkeley().to_numpy(),
+            gates.canonical(0.5, 0.25, 0.0).to_numpy(),
+            gates.canonical(0.25, 0.25, 0.25).to_numpy(),
+        ]
+    )
+    targets = np.concatenate([haar_sample(4096 - len(degenerate), seed=9), degenerate])
+    ks_dev = monodromy_ks_batch(cov, targets)  # TPU path (n >= 1024)
+    ks_ref = np.array([k for k, _ in monodromy_ranges_batch(cov, targets)])
+    np.testing.assert_array_equal(ks_dev, ks_ref)

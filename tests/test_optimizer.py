@@ -217,3 +217,31 @@ def test_training_history_includes_lm_phase():
     assert lm.ndim == 2 and lm.shape[0] == 2
     # the polish trace must actually reach certification depth
     assert (lm.min(axis=1) < 1e-12).all()
+
+
+def test_multichunk_dispatch_with_padded_tail():
+    """The fixed-shape chunked dispatch (B > CH, padded last chunk) must
+    give the same results as a single-chunk solve — pins the power-of-2
+    chunk padding path at CPU-friendly sizes via the chunk_size override
+    (the bench exercises it at B=10k on-chip)."""
+    from slam_decomposition_tpu.opt.samplers import haar_exact_sample
+
+    targets = haar_exact_sample(2, 20, seed=11)  # all reachable at k=2
+    kw = dict(
+        spanning_range=[2], training_restarts=3, override_fail=True,
+        max_iters=250, seed=7,
+    )
+    res_chunked = TemplateOptimizer(
+        _builder(gates.SQISWAP), chunk_size=8, **kw
+    ).approximate_from_distribution(targets)  # 3 chunks: 8 + 8 + padded 4
+    res_single = TemplateOptimizer(
+        _builder(gates.SQISWAP), **kw
+    ).approximate_from_distribution(targets)
+    # same RNG stream + same solver -> identical restarts; chunking must
+    # be invisible in the results
+    np.testing.assert_allclose(res_chunked.loss, res_single.loss, atol=1e-12)
+    assert (res_chunked.cycles == res_single.cycles).all()
+    assert (res_chunked.success == res_single.success).all()
+    # low restart/iter budget keeps the CPU test fast; most targets still
+    # converge and the ones that don't must fail identically in both paths
+    assert res_chunked.success.mean() > 0.5
