@@ -63,6 +63,157 @@ def _distances(n: int, edges: Sequence[Tuple[int, int]]) -> np.ndarray:
     return dist
 
 
+_ZDIAG_1Q = {"rz", "z", "s", "t", "sdg", "tdg", "p", "phase"}
+_XDIAG_1Q = {"x", "rx"}
+
+
+def _axis_on(op, q) -> Optional[str]:
+    """The Pauli axis on which ``op`` acts diagonally at qubit ``q``
+    ('z'/'x'), or None. cp/cz/rzz are Z-diagonal on both qubits; cx is
+    Z-diagonal on its control and X-diagonal on its target."""
+    if op.name in ("cp", "cz", "rzz"):
+        return "z"
+    if op.name == "cx":
+        return "z" if q == op.qubits[0] else "x"
+    if op.n_qubits == 1:
+        if op.name in _ZDIAG_1Q:
+            return "z"
+        if op.name in _XDIAG_1Q:
+            return "x"
+    return None
+
+
+def _commute(a, b) -> bool:
+    """Sufficient commutation test: on every shared qubit, both ops are
+    diagonal on the same Pauli axis."""
+    shared = set(a.qubits) & set(b.qubits)
+    for q in shared:
+        ax = _axis_on(a, q)
+        if ax is None or ax != _axis_on(b, q):
+            return False
+    return True
+
+
+def duration_proxy(
+    circ: Circuit,
+    dur_1q: float = 0.25,
+    dur_2app: float = 1.75,
+    dur_3app: float = 2.25,
+) -> float:
+    """Cheap estimate of the basic-pipeline duration of a routed circuit:
+    consolidate 2Q blocks, then ASAP makespan with 2-application blocks at
+    1.75 and swap-containing (3-application) blocks at 2.25 (sqiswap 0.5 +
+    1Q layers 0.25 each). This is the objective the benchmark actually
+    scores — ranking routing trials by raw swap count picks circuits whose
+    critical path is LONGER (measured: QFT-16 with 55 swaps at makespan
+    145.75 vs 101 swaps at 133.0)."""
+    from collections import defaultdict
+
+    from slam_decomposition_tpu.transpile.consolidate import (
+        collect_2q_blocks,
+    )
+
+    blocks, leftovers = collect_2q_blocks(circ)
+    events = [(pos, dur_1q, (op.qubits[0],)) for pos, op in leftovers]
+    for b in blocks:
+        has_swap = any(o.name == "swap" for o in b.ops)
+        events.append(
+            (max(b.positions), dur_3app if has_swap else dur_2app,
+             tuple(b.qubits))
+        )
+    events.sort(key=lambda e: e[0])
+    finish: dict = defaultdict(float)
+    for _, cost, qs in events:
+        start = max(finish[q] for q in qs)
+        for q in qs:
+            finish[q] = start + cost
+    return max(finish.values(), default=0.0)
+
+
+def _commute_dag(ops, relax: bool = True) -> Tuple[List[int], List[List[int]]]:
+    """Dependency DAG over ops as (pred counts, successor lists): per-qubit
+    chains RELAXED by commutation — consecutive ops that are jointly
+    diagonal (same Pauli axis) on every shared qubit commute and become
+    independent, so a router's front layer can pick whichever commuting
+    gate is currently cheap. This is the big lever on structured circuits
+    (QFT's cp cascades all mutually commute; cx chains sharing a
+    control/target likewise) that qiskit's optimization_level=3 exploits
+    and a plain per-qubit-chain SABRE cannot (the reference routes with O3,
+    results/main.ipynb cell 1)."""
+    n_ops = len(ops)
+    pred_sets: List[set] = [set() for _ in range(n_ops)]
+    group: Dict[int, List[int]] = {}  # qubit -> current commuting group
+    group_preds: Dict[int, List[int]] = {}  # qubit -> group's predecessors
+    for i, op in enumerate(ops):
+        for q in op.qubits:
+            g = group.get(q, [])
+            if relax and g and all(_commute(ops[j], op) for j in g):
+                pred_sets[i].update(group_preds.get(q, ()))
+                g.append(i)
+            else:
+                pred_sets[i].update(g)
+                group_preds[q] = g
+                group[q] = [i]
+    preds = [0] * n_ops
+    succs: List[List[int]] = [[] for _ in range(n_ops)]
+    for i, ps in enumerate(pred_sets):
+        preds[i] = len(ps)
+        for j in ps:
+            succs[j].append(i)
+    return preds, succs
+
+
+def schedule_for_duration(
+    circ: Circuit,
+    dur_1q: float = 0.25,
+    dur_2q: float = 1.75,
+    dur_swap: float = 2.25,
+) -> Circuit:
+    """Reorder ops (semantics preserved via the commutation DAG) to
+    minimize the ASAP makespan of the emitted order: critical-path list
+    scheduling with per-qubit resources. A swap-greedy router can emit a
+    commuting sibling ahead of a critical-chain gate, pushing the whole
+    chain later; this pass undoes that. Durations are the basic-pipeline
+    block costs (2-app block 1.75, 3-app/swap 2.25, 1Q layer 0.25) — only
+    the relative priorities matter."""
+    import heapq
+
+    ops = circ.ops
+    n_ops = len(ops)
+    preds, succs = _commute_dag(ops)
+
+    def d(op):
+        if op.n_qubits == 1:
+            return dur_1q
+        return dur_swap if op.name == "swap" else dur_2q
+
+    # downstream critical path (reverse topological order = reverse of any
+    # forward topo order; program order IS one since deps point backward)
+    prio = [0.0] * n_ops
+    for i in range(n_ops - 1, -1, -1):
+        down = max((prio[s] for s in succs[i]), default=0.0)
+        prio[i] = d(ops[i]) + down
+
+    finish = [0.0] * circ.n_qubits
+    npred = list(preds)
+    ready = [(-prio[i], i) for i in range(n_ops) if npred[i] == 0]
+    heapq.heapify(ready)
+    out = Circuit(circ.n_qubits)
+    while ready:
+        _, i = heapq.heappop(ready)
+        op = ops[i]
+        start = max((finish[q] for q in op.qubits), default=0.0)
+        for q in op.qubits:
+            finish[q] = start + d(op)
+        out.append(op)
+        for s in succs[i]:
+            npred[s] -= 1
+            if npred[s] == 0:
+                heapq.heappush(ready, (-prio[s], s))
+    assert len(out.ops) == n_ops
+    return out
+
+
 def _sabre_once(
     circ: Circuit,
     edges: Sequence[Tuple[int, int]],
@@ -72,6 +223,8 @@ def _sabre_once(
     lookahead: int = 20,
     lookahead_w: float = 0.5,
     final_layout: Optional[List[int]] = None,
+    relax: bool = True,
+    depth_w: float = 0.35,
 ) -> Circuit:
     """One routing pass with a fixed initial layout. ``layout[logical] =
     physical``. Returns the routed circuit on physical qubits; if
@@ -80,17 +233,8 @@ def _sabre_once(
     n = dist.shape[0]  # physical qubit count (>= circ.n_qubits)
     pi = list(layout)
 
-    # dependency DAG over ops: per-qubit chains
     n_ops = len(circ.ops)
-    preds = [0] * n_ops
-    succs: List[List[int]] = [[] for _ in range(n_ops)]
-    last: Dict[int, int] = {}
-    for i, op in enumerate(circ.ops):
-        for q in op.qubits:
-            if q in last:
-                succs[last[q]].append(i)
-                preds[i] += 1
-            last[q] = i
+    preds, succs = _commute_dag(circ.ops, relax=relax)
     front = deque(i for i in range(n_ops) if preds[i] == 0)
     out = Circuit(n)
     decay = np.zeros(n)
@@ -99,11 +243,18 @@ def _sabre_once(
     executed = [False] * n_ops
 
     last_pair: Dict[int, Tuple[int, int]] = {}  # phys qubit -> last 2q pair
+    finish = np.zeros(n)  # per-physical-qubit busy-until (duration units)
 
     def emit(i):
         op = circ.ops[i]
         mapped = tuple(pi[q] for q in op.qubits)
         out.append(dataclasses.replace(op, qubits=mapped))
+        t0 = max(finish[p] for p in mapped)
+        dop = 0.25 if op.n_qubits == 1 else (
+            2.25 if op.name == "swap" else 1.75
+        )
+        for p in mapped:
+            finish[p] = t0 + dop
         if op.n_qubits == 2:
             pair = (min(mapped), max(mapped))
             for p in mapped:
@@ -167,6 +318,14 @@ def _sabre_once(
             # gate fuses into that block downstream (zero marginal cost)
             if last_pair.get(a) == (a, b):
                 h -= 0.12
+            # depth awareness: prefer swaps on idle qubits — a swap on the
+            # busiest wire lands on the critical path, one on a cold wire
+            # hides in existing slack (the benchmark scores MAKESPAN, not
+            # swap count)
+            if depth_w:
+                tmax = finish.max()
+                if tmax > 0:
+                    h += depth_w * (max(finish[a], finish[b]) / tmax)
             return h
 
         best = min(sorted(cand_swaps), key=score)
@@ -191,12 +350,15 @@ def route(
     trials: int = 4,
     rows_cols: Optional[Tuple[int, int]] = None,
     score_fn=None,
+    return_layouts: bool = False,
 ) -> Circuit:
     """Route ``circ`` onto the coupling graph, trying several initial
     layouts (snake, trivial, random) and keeping the best result.
 
     ``score_fn(circuit) -> float`` ranks results (default: 2Q-op count,
-    i.e. fewest inserted swaps)."""
+    i.e. fewest inserted swaps). With ``return_layouts`` the winning
+    trial's (routed, initial, final) logical->physical layouts come back —
+    needed to verify unitary equivalence modulo the tracked permutation."""
     n = circ.n_qubits
     n_phys = max(max(e) for e in edges) + 1
     if n > n_phys:
@@ -210,16 +372,11 @@ def route(
     for _ in range(max(trials - len(layouts), 0)):
         layouts.append(list(rng.permutation(n_phys))[:n])
     if score_fn is None:
-        # consolidation-aware: a routing swap adjacent to a same-pair gate
-        # merges into that 4x4 block downstream and is effectively free, so
-        # rank trials by CONSOLIDATED block count, not raw swap count
-        from slam_decomposition_tpu.transpile.consolidate import (
-            collect_2q_blocks,
-        )
-
-        def score_fn(c):
-            blocks, _ = collect_2q_blocks(c)
-            return len(blocks)
+        # rank trials by the basic-pipeline duration estimate — the actual
+        # benchmark objective. (Block count / raw swap count are the wrong
+        # proxies: consolidation makes some swaps free, and swap-minimal
+        # routings can have strictly longer critical paths.)
+        score_fn = duration_proxy
     rev = Circuit(n)
     for op in reversed(circ.ops):
         rev.append(op)
@@ -227,16 +384,31 @@ def route(
     for lay in layouts:
         # SABRE layout: forward-backward passes refine the initial layout
         # (Li/Ding/Xie sec. V); the final mapping of each pass seeds the
-        # next direction's initial layout.
-        cur = list(lay)
-        for _ in range(2):
-            fl: List[int] = []
-            _sabre_once(rev, edges, dist, cur, final_layout=fl)
-            cur = fl
-            fl = []
-            routed = _sabre_once(circ, edges, dist, cur, final_layout=fl)
-            s = score_fn(routed)
-            if best is None or s < best[0]:
-                best = (s, routed)
-            cur = fl
+        # next direction's initial layout. Both dependency-DAG modes are
+        # tried — commutation-relaxed routing saves many swaps on
+        # structured circuits but can serialize the critical path, so the
+        # duration score arbitrates.
+        for relax, depth_w in (
+            (True, 0.35), (False, 0.35), (True, 0.0), (False, 0.0)
+        ):
+            cur = list(lay)
+            for _ in range(2):
+                fl: List[int] = []
+                _sabre_once(rev, edges, dist, cur, final_layout=fl,
+                            relax=relax, depth_w=depth_w)
+                cur = fl
+                fl = []
+                init = list(cur)
+                routed = _sabre_once(circ, edges, dist, cur,
+                                     final_layout=fl, relax=relax,
+                                     depth_w=depth_w)
+                # fix the emission order: swap-greedy routing may emit
+                # commuting siblings ahead of critical-chain gates
+                routed = schedule_for_duration(routed)
+                s = score_fn(routed)
+                if best is None or s < best[0]:
+                    best = (s, routed, init, list(fl))
+                cur = fl
+    if return_layouts:
+        return best[1], best[2], best[3]
     return best[1]
