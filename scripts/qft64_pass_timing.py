@@ -1,0 +1,87 @@
+"""Device-resident transpile evidence: QFT-64 pass wall-clock on TPU.
+
+The unrouted QFT-64 has 64*63/2 = 2016 consolidated cp blocks — above
+the >=1024 device-routing threshold, so the whole coordinate +
+k-assignment flow rides the accelerator (weyl_coords_float mixed-precision
+coords; monodromy_ks_batch membership), with the host seeing only int32
+ks. Records wall-clock (cold incl. compile, then warm) and checks the
+device coordinates against the pinned-CPU f64 path.
+
+Run in the default (TPU) env: python scripts/qft64_pass_timing.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+
+from slam_decomposition_tpu.config import setup_x64
+
+setup_x64()
+
+from slam_decomposition_tpu.coverage.coverage import (
+    gate_set_to_coverage,
+    monodromy_ks_batch,
+    weyl_coords_float,
+)
+from slam_decomposition_tpu.models import gates as G
+from slam_decomposition_tpu.transpile import library
+from slam_decomposition_tpu.transpile.consolidate import consolidate_2q_blocks
+from slam_decomposition_tpu.transpile.passes import optimized_sqiswap_sub
+
+print(f"backend: {jax.default_backend()}", file=sys.stderr)
+
+qc = library.qft(64)
+t0 = time.time()
+blocks = consolidate_2q_blocks(qc)
+us = np.stack([b.unitary for b in blocks])
+t_cons = time.time() - t0
+print(f"consolidate: {len(blocks)} blocks in {t_cons:.2f}s")
+
+# coords: device (mixed precision) vs pinned-CPU f64 parity
+t0 = time.time()
+coords_dev = weyl_coords_float(us)
+t_cold = time.time() - t0
+t0 = time.time()
+coords_dev = weyl_coords_float(us)
+t_warm = time.time() - t0
+print(f"coords ({len(us)}): cold {t_cold:.2f}s warm {t_warm:.3f}s")
+
+if jax.default_backend() == "tpu":
+    import slam_decomposition_tpu.coverage.coverage as cov_mod
+
+    bk = jax.default_backend
+
+    class _F:
+        def __call__(self):
+            return "cpu"
+
+    jax.default_backend = lambda: "cpu"
+    try:
+        coords_cpu = weyl_coords_float(us)
+    finally:
+        jax.default_backend = bk
+    err = np.abs(coords_dev - coords_cpu).max()
+    print(f"device-vs-f64 coordinate parity: max |delta| = {err:.2e}")
+    assert err < 1e-7, err
+
+cov = gate_set_to_coverage(G.cg_sqiswap())
+t0 = time.time()
+ks = monodromy_ks_batch(cov, us)
+t_ks_cold = time.time() - t0
+t0 = time.time()
+ks = monodromy_ks_batch(cov, us)
+t_ks_warm = time.time() - t0
+import collections
+
+print(f"ks ({len(us)}): cold {t_ks_cold:.2f}s warm {t_ks_warm:.3f}s "
+      f"dist {dict(collections.Counter(ks.tolist()))}")
+
+t0 = time.time()
+out = optimized_sqiswap_sub(qc, duration_1q=0.25)
+t_pass = time.time() - t0
+print(f"optimized_sqiswap_sub full pass: {t_pass:.2f}s "
+      f"({len(out.ops)} ops out)")

@@ -206,6 +206,67 @@ def _monodromy_reps_tpu(arr: np.ndarray) -> np.ndarray:
     return reps[0] if single else reps
 
 
+_WEYL_CPU_JIT = None
+_WEYL_TPU_JIT = None
+
+
+def weyl_coords_float(matrices: np.ndarray) -> np.ndarray:
+    """Batched canonical Weyl coordinates (c1c2c3) with the same device
+    routing policy as :func:`monodromy_reps_float`: large batches ride the
+    accelerator via the mixed-precision eigensolve (one jitted call per
+    fixed-shape chunk), small host-analysis probes stay on pinned CPU.
+    This is the transpile passes' coordinate entry point — the round-1
+    CPU-pinned `_c1c2c3_batch` (old transpile/passes.py:34-44) is gone.
+    """
+    global _WEYL_CPU_JIT, _WEYL_TPU_JIT
+    import jax
+
+    from slam_decomposition_tpu.ops import cplx, weyl
+
+    arr = np.asarray(matrices)
+    single = arr.ndim == 2
+    if single:
+        arr = arr[None]
+    n = len(arr)
+
+    if jax.default_backend() == "tpu" and n >= 1024:
+        if _WEYL_TPU_JIT is None:
+            _WEYL_TPU_JIT = jax.jit(weyl.c1c2c3_mixed)
+        CHUNK, SMALL = 8192, 256  # the two fixed shapes (AOT compile cost)
+        futs = []
+        s = 0
+        while s < n:
+            part = arr[s : s + CHUNK]
+            m = len(part)
+            size = SMALL if m <= SMALL else CHUNK
+            if m < size:
+                part = np.concatenate([part, np.repeat(part[:1], size - m, 0)])
+            futs.append((_WEYL_TPU_JIT(cplx.from_numpy(part)), m))
+            s += m
+        out = np.concatenate([np.asarray(f)[:m] for f, m in futs])
+        return out[0] if single else out
+
+    if _WEYL_CPU_JIT is None:
+        _WEYL_CPU_JIT = jax.jit(weyl.c1c2c3)
+    CHUNK = 2048
+    old_cache = jax.config.jax_enable_compilation_cache
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+        with jax.default_device(jax.devices("cpu")[0]):
+            out = []
+            for s in range(0, n, CHUNK):
+                part = arr[s : s + CHUNK]
+                m = len(part)
+                pad = CHUNK if m > 64 else m
+                if m < pad:
+                    part = np.concatenate([part, np.repeat(part[:1], pad - m, 0)])
+                out.append(np.asarray(_WEYL_CPU_JIT(cplx.from_numpy(part)))[:m])
+            out = np.concatenate(out)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", old_cache)
+    return out[0] if single else out
+
+
 def gate_monodromy_reps(gate_or_matrix) -> List[Tuple[Fraction, ...]]:
     """Both PU(4) representatives of a gate's monodromy coordinate, as exact
     fractions (limit_denominator like polytope_wrap.py:155-158)."""

@@ -58,6 +58,16 @@ class MixedOrderBasisTemplate:
         (polytope_wrap.py:39-94)."""
         return monodromy_range_from_target(self.coverage, target_u)
 
+    def ks_for_batch(self, targets) -> "np.ndarray":
+        """Batched k-assignment for a whole target stack — one device
+        call on TPU (coverage.monodromy_ks_batch), vectorized host math
+        elsewhere. Use this instead of looping range_for per block."""
+        from slam_decomposition_tpu.coverage.coverage import (
+            monodromy_ks_batch,
+        )
+
+        return monodromy_ks_batch(self.coverage, targets)
+
     def build(
         self,
         polytope: CircuitPolytope,

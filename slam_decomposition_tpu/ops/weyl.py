@@ -111,23 +111,13 @@ def c1c2c3(U: cplx.CMat) -> jnp.ndarray:
 
     Works on a single (4,4) pair or any leading batch dims; returns (..., 3).
     """
-    th = gamma_eigenphases(U)
-    # re-lift the 4th phase so the sum is exactly 0 (any lift difference is a
-    # lattice translation absorbed by canonicalization)
-    t3 = -(th[..., 0] + th[..., 1] + th[..., 2])
-    ctil = jnp.stack(
-        [
-            (th[..., 0] + t3) / 4.0,
-            (th[..., 1] + t3) / 4.0,
-            (th[..., 2] + t3) / 4.0,
-        ],
-        axis=-1,
-    )
+    # _phases_to_c re-lifts the 4th phase so the sum is exactly 0 (any lift
+    # difference is a lattice translation absorbed by canonicalization);
     # (v_k + v_3)/2 pairs are signed unit vectors, so ctil = W t for a signed
     # permutation W — which always carries an odd number of sign flips (an
-    # improper Weyl element mapping to the mirror class). Negate to restore
-    # the proper class, then canonicalize.
-    return _canonicalize_c(-ctil / (np.pi / 2.0))
+    # improper Weyl element mapping to the mirror class). _phases_to_c
+    # negates to restore the proper class, then canonicalizes.
+    return _phases_to_c(gamma_eigenphases(U))
 
 
 def g1g2g3(U: cplx.CMat) -> jnp.ndarray:
@@ -192,6 +182,12 @@ def monodromy_coords_mixed(U: cplx.CMat) -> jnp.ndarray:
     refined phases are accurate to ~1e-12, far inside the 1e-8 membership
     tolerance. Verified against the f64 path on Haar + degenerate gates.
     """
+    return _phases_to_reps(gamma_eigenphases_mixed(U))
+
+
+def gamma_eigenphases_mixed(U: cplx.CMat) -> jnp.ndarray:
+    """gamma_eigenphases with the f32-Jacobi + f64-Rayleigh eigensolve
+    (see monodromy_coords_mixed for the precision argument)."""
     Us, _ = su4_normalize(U)
     M = to_magic(Us)
     m = cplx.matmul(cplx.transpose(M), M)  # unitary symmetric, f64
@@ -203,8 +199,28 @@ def monodromy_coords_mixed(U: cplx.CMat) -> jnp.ndarray:
     vv = jnp.sum(V * V, axis=-2)  # (..., 4) column norms^2
     lx = jnp.einsum("...ik,...ij,...jk->...k", V, X64, V) / vv
     ly = jnp.einsum("...ik,...ij,...jk->...k", V, Y64, V) / vv
-    th = jnp.arctan2(ly, lx)
-    return _phases_to_reps(th)
+    return jnp.arctan2(ly, lx)
+
+
+def _phases_to_c(th: jnp.ndarray) -> jnp.ndarray:
+    """Eigenphases -> canonical Weyl-chamber c1c2c3 (the tail of c1c2c3)."""
+    t3 = -(th[..., 0] + th[..., 1] + th[..., 2])
+    ctil = jnp.stack(
+        [
+            (th[..., 0] + t3) / 4.0,
+            (th[..., 1] + t3) / 4.0,
+            (th[..., 2] + t3) / 4.0,
+        ],
+        axis=-1,
+    )
+    return _canonicalize_c(-ctil / (np.pi / 2.0))
+
+
+def c1c2c3_mixed(U: cplx.CMat) -> jnp.ndarray:
+    """c1c2c3 with the TPU-friendly mixed-precision eigensolve — same
+    routing role for Weyl coordinates that monodromy_coords_mixed plays for
+    alcove coordinates (transpile passes ride this on-device)."""
+    return _phases_to_c(gamma_eigenphases_mixed(U))
 
 
 def _phases_to_reps(th: jnp.ndarray) -> jnp.ndarray:

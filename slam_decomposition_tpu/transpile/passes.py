@@ -28,19 +28,15 @@ from slam_decomposition_tpu.transpile.ir import Circuit, unroll_3q_or_more
 logger = logging.getLogger(__name__)
 
 _TEMPLATE_CACHE: Dict[str, MixedOrderBasisTemplate] = {}
-_C1C2C3_JIT = None
 
 
 def _c1c2c3_batch(us: np.ndarray) -> np.ndarray:
-    global _C1C2C3_JIT
-    import jax
+    """Batched Weyl coordinates via the device-routed entry point
+    (coverage.weyl_coords_float): large circuits ride the accelerator's
+    mixed-precision eigensolve, small probes stay on pinned CPU."""
+    from slam_decomposition_tpu.coverage.coverage import weyl_coords_float
 
-    from slam_decomposition_tpu.ops import cplx, weyl
-
-    if _C1C2C3_JIT is None:
-        _C1C2C3_JIT = jax.jit(weyl.c1c2c3)
-    with jax.default_device(jax.devices("cpu")[0]):
-        return np.asarray(_C1C2C3_JIT(cplx.from_numpy(np.asarray(us))))
+    return weyl_coords_float(np.asarray(us))
 
 
 def _cached_template(key: str, factory):
@@ -275,7 +271,7 @@ def speed_gate_substitute(
     rng = np.random.default_rng(seed)
     smush = "smush" in strategy
 
-    def substitute_with(template, scaled_gate, target, sub_seed_rng):
+    def substitute_with(template, scaled_gate, target, sub_seed_rng, k=None):
         if family_extension:
             from slam_decomposition_tpu.explore.family import recursive_sibling_check
 
@@ -291,7 +287,8 @@ def speed_gate_substitute(
             sub.unitary(target, (0, 1), name="dummy",
                         duration=max(cost - 2 * duration_1q, 0.0))
             return sub
-        k, cp = template.range_for(target)
+        if k is None:
+            k, _cp = template.range_for(target)
         sub = Circuit(2)
         _random_1q_layer(sub, sub_seed_rng, duration_1q)
         for _ in range(k):
@@ -309,16 +306,34 @@ def speed_gate_substitute(
             group, metric=metric, smush=smush, family_extension=family_extension
         )
         template = MixedOrderBasisTemplate([winner], smush=smush)
+        # ONE batched k-assignment for the whole circuit (the reference
+        # probed ranges per DAG node, speed_limit_pass.py:176)
+        ks = (
+            None
+            if family_extension or not blocks
+            else template.ks_for_batch(np.stack([b.unitary for b in blocks]))
+        )
         for i, b in enumerate(blocks):
-            subs[i] = substitute_with(template, scaled, b.unitary, rng)
+            subs[i] = substitute_with(
+                template, scaled, b.unitary, rng,
+                k=None if ks is None else int(ks[i]),
+            )
     elif strategy == "weighted_overall":
         targets = [b.unitary for b in blocks]
         winner, scaled = pick_winner(
             group, metric=-1, target_ops=targets, family_extension=family_extension
         )
         template = MixedOrderBasisTemplate([winner])
+        ks = (
+            None
+            if family_extension or not blocks
+            else template.ks_for_batch(np.stack(targets))
+        )
         for i, b in enumerate(blocks):
-            subs[i] = substitute_with(template, scaled, b.unitary, rng)
+            subs[i] = substitute_with(
+                template, scaled, b.unitary, rng,
+                k=None if ks is None else int(ks[i]),
+            )
     elif strategy == "weighted_pairwise":
         edges = coupling_edges or sorted(
             {tuple(sorted(b.qubits)) for b in blocks}
@@ -333,8 +348,16 @@ def speed_gate_substitute(
                 family_extension=family_extension,
             )
             template = MixedOrderBasisTemplate([winner])
-            for i in idxs:
-                subs[i] = substitute_with(template, scaled, blocks[i].unitary, rng)
+            ks = (
+                None
+                if family_extension
+                else template.ks_for_batch(np.stack(targets))
+            )
+            for j, i in enumerate(idxs):
+                subs[i] = substitute_with(
+                    template, scaled, blocks[i].unitary, rng,
+                    k=None if ks is None else int(ks[j]),
+                )
     else:
         raise ValueError(f"unknown strategy {strategy}")
 
@@ -654,14 +677,42 @@ def optimized_sqiswap_sub(
     us = np.stack([b.unitary for b in blocks])
     coords = _c1c2c3_batch(us)
 
-    def scaled_fraction(frac: float) -> G.Gate:
-        g = G.conversion_gain_gate(
-            *scaled_iswap.params[:-1], scaled_iswap.params[-1] * frac
-        )
-        g = G.cg_normalize_duration(g, 1.0)
-        return dataclasses.replace(
-            g, duration_override=scaled_iswap.duration * frac
-        )
+    # batched range lookups for the general (non-identity-rule) blocks:
+    # ONE k-assignment call per coverage set for the whole circuit instead
+    # of a per-block membership probe (the reference looped per DAG node,
+    # speed_limit_pass.py:176)
+    is_ctrl = (np.abs(coords[:, 1]) < 1e-9) & (np.abs(coords[:, 2]) < 1e-9)
+    is_swap = np.all(np.abs(coords - [0.5, 0.5, 0.5]) < 1e-9, axis=1)
+    is_iswap = np.all(np.abs(coords - [0.5, 0.5, 0.0]) < 1e-9, axis=1)
+    general = ~(is_ctrl | is_swap | is_iswap)
+    ks_iswap = np.zeros(len(blocks), dtype=int)
+    ks_sq = np.zeros(len(blocks), dtype=int)
+    if general.any():
+        gen_us = us[general]
+        ks_iswap[general] = edge_iswap_t.ks_for_batch(gen_us)
+        need_sq = np.zeros(len(blocks), dtype=bool)
+        need_sq[general] = ks_iswap[general] != 1
+        if need_sq.any():
+            ks_sq[need_sq] = sq_t.ks_for_batch(us[need_sq])
+
+    _frac_cache: Dict[float, Tuple[G.Gate, np.ndarray]] = {}
+    scaled_iswap_np = scaled_iswap.to_numpy()
+
+    def scaled_fraction(frac: float) -> Tuple[G.Gate, np.ndarray]:
+        """(gate, matrix) memoized by fraction — gate-matrix evaluation
+        goes through jax and costs a host dispatch per call; QFT-64 has
+        2048 blocks but only ~64 distinct cp fractions."""
+        key = round(float(frac), 12)
+        if key not in _frac_cache:
+            g = G.conversion_gain_gate(
+                *scaled_iswap.params[:-1], scaled_iswap.params[-1] * frac
+            )
+            g = G.cg_normalize_duration(g, 1.0)
+            g = dataclasses.replace(
+                g, duration_override=scaled_iswap.duration * frac
+            )
+            _frac_cache[key] = (g, g.to_numpy())
+        return _frac_cache[key]
 
     subs: Dict[int, Circuit] = {}
     plans: Dict[int, List[float]] = {}
@@ -673,33 +724,32 @@ def optimized_sqiswap_sub(
             # controlled family: parallel-driven iSwap fraction
             # (speed_limit_pass.py:385-396)
             frac = c[0] / 0.5
-            g = scaled_fraction(frac)
-            sub.append("pd_iswap", (0, 1), matrix=g.to_numpy(), duration=g.duration)
+            g, g_np = scaled_fraction(frac)
+            sub.append("pd_iswap", (0, 1), matrix=g_np, duration=g.duration)
             plans[i] = [float(frac)]
         elif np.allclose(c, [0.5, 0.5, 0.5], atol=1e-9):
             # SWAP = pd-iSwap then sqiswap (speed_limit_pass.py:398-423)
-            sub.append("pd_iswap", (0, 1), matrix=scaled_iswap.to_numpy(),
+            sub.append("pd_iswap", (0, 1), matrix=scaled_iswap_np,
                        duration=scaled_iswap.duration)
             _random_1q_layer(sub, rng, duration_1q)
-            g = scaled_fraction(0.5)
-            sub.append("pd_sqiswap", (0, 1), matrix=g.to_numpy(), duration=g.duration)
+            g, g_np = scaled_fraction(0.5)
+            sub.append("pd_sqiswap", (0, 1), matrix=g_np, duration=g.duration)
             plans[i] = [1.0, 0.5]
         elif np.allclose(c, [0.5, 0.5, 0.0], atol=1e-9):
-            sub.append("pd_iswap", (0, 1), matrix=scaled_iswap.to_numpy(),
+            sub.append("pd_iswap", (0, 1), matrix=scaled_iswap_np,
                        duration=scaled_iswap.duration)
             plans[i] = [1.0]
         else:
             # general: extended-coverage lookups (speed_limit_pass.py:425-455)
-            k_i, _ = edge_iswap_t.range_for(b.unitary)
-            if k_i == 1:
-                sub.append("pd_iswap", (0, 1), matrix=scaled_iswap.to_numpy(),
+            if ks_iswap[i] == 1:
+                sub.append("pd_iswap", (0, 1), matrix=scaled_iswap_np,
                            duration=scaled_iswap.duration)
                 plans[i] = [1.0]
             else:
-                k, _ = sq_t.range_for(b.unitary)
-                gsq = scaled_fraction(0.5)
+                k = int(ks_sq[i])
+                gsq, gsq_np = scaled_fraction(0.5)
                 for _ in range(k):
-                    sub.append("pd_sqiswap", (0, 1), matrix=gsq.to_numpy(),
+                    sub.append("pd_sqiswap", (0, 1), matrix=gsq_np,
                                duration=gsq.duration)
                     _random_1q_layer(sub, rng, duration_1q)
                 plans[i] = [0.5] * k
