@@ -15,6 +15,7 @@ import dataclasses
 from typing import Callable, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from slam_decomposition_tpu.models import hamiltonians as ham
@@ -42,7 +43,11 @@ class Gate:
         return self._matrix_fn(*self.params, dtype=dtype)
 
     def to_numpy(self):
-        return cplx.to_numpy(self.matrix())
+        # host-side conversion by definition — build the matrix on the CPU
+        # backend so eager construction never round-trips through a remote
+        # accelerator (tunnel dispatch latency dominates at 4x4 scale)
+        with jax.default_device(jax.devices("cpu")[0]):
+            return cplx.to_numpy(self.matrix())
 
     def cost(self) -> float:
         if self._cost_fn is None:

@@ -22,6 +22,7 @@ import dataclasses
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from slam_decomposition_tpu.models.gates import Gate
@@ -120,13 +121,21 @@ def build_ansatz(
     n_layers = (k + 1) if not no_exterior_1q else max(k - 1, 0)
     n_1q = n_layers * layer_p
 
-    # precompute embedded gate constants (stacked)
-    Gs = cplx.stack(
-        [
-            cplx.astype(_embed_2q(g.matrix(dtype=jnp.float64), e, n_qubits), dtype)
-            for g, e in zip(gate_seq, edges)
-        ]
-    )
+    # precompute embedded gate constants (stacked). Built on HOST CPU and
+    # held as numpy: eager constant construction on the default accelerator
+    # is pure dispatch latency (each tiny op is a device round-trip — on the
+    # remote-tunnel rig this made template build take minutes, and it buys
+    # nothing: jit embeds the constants as literals either way).
+    with jax.default_device(jax.devices("cpu")[0]):
+        Gs = cplx.stack(
+            [
+                cplx.astype(
+                    _embed_2q(g.matrix(dtype=jnp.float64), e, n_qubits), dtype
+                )
+                for g, e in zip(gate_seq, edges)
+            ]
+        )
+        Gs = (np.asarray(Gs[0]), np.asarray(Gs[1]))
     fixed_cost = float(sum(g.cost() for g in gate_seq))
 
     def eval_fn(x):
