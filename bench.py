@@ -19,13 +19,16 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = rate / 167. Every counted target is certified below 1e-10
 square-cost (stricter than the reference's 1e-10 BasicCost threshold).
 
-Timing protocol: the 10k target set is uploaded to the device ONCE before
-the clock starts and the timed region covers ranges + solve + certification
-+ result download. The one-time upload (~2.5 MB, ~0.14 s through the
-~18 MB/s tunnel) is excluded deliberately — it is an artifact of the
-remote-tunnel test rig, not of the pipeline (production targets are
-generated or held on-device); this exclusion is stated next to the headline
-number in README.md.
+Timing protocol: the target set (default 100k; B is argv[1]) is uploaded
+to the device ONCE before the clock starts and the timed region covers
+ranges + solve + certification + result download. The one-time upload
+(~25 MB at B=100k, ~1.4 s through the ~18 MB/s tunnel) is excluded
+deliberately — it is an artifact of the remote-tunnel test rig, not of
+the pipeline (production targets are generated or held on-device); this
+exclusion is stated next to the headline number in README.md. B=100k is
+the default because at 10k the ~0.3 s timed region is dominated by fixed
+per-dispatch tunnel latency rather than device throughput (10k: ~32k
+targets/s; 100k: ~51k targets/s, same certification).
 """
 
 import json
@@ -47,7 +50,7 @@ from slam_decomposition_tpu.opt.gauss_newton import make_solver
 from slam_decomposition_tpu.opt.samplers import haar_sample
 from slam_decomposition_tpu.ops import cplx
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 2_500
 RESTARTS = 4
 THRESH = 1e-10
