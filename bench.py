@@ -121,9 +121,11 @@ def main():
         monodromy_ks_batch,
     )
 
+    t0 = time.time()
     s2, a2 = build(2)
     s3, a3 = build(3)
     coverage = gate_set_to_coverage(gates.cg_sqiswap())
+    print(f"# warmup/build+coverage: {time.time() - t0:.1f}s", file=sys.stderr)
 
     # upload each target set ONCE; ranges and every solve chunk gather
     # from the device-resident pair. The warmup set has the SAME shape as
@@ -134,8 +136,12 @@ def main():
     n_w = int(T_w[0].shape[0])
 
     t0 = time.time()
+    t1 = time.time()
     ks_w = np.maximum(monodromy_ks_batch(coverage, T_w), 2)
+    print(f"# warmup/ks first call: {time.time() - t1:.1f}s", file=sys.stderr)
+    t1 = time.time()
     run(T_w, n_w, jax.random.PRNGKey(0), s2, a2, s3, a3, ks_w)
+    print(f"# warmup/solve first pass: {time.time() - t1:.1f}s", file=sys.stderr)
     print(f"# warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
