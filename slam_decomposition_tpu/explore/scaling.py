@@ -162,6 +162,8 @@ def cost_scaling(
                     continue  # smush polytope only precomputed for 6 gates
                 scores = np.array(list(s) + [-1.0, -1.0])
             key = G.cg_hash(params[2], params[3], params[4])
+            if query_params is not None and not np.allclose(params, query_params):
+                continue
             if key in g2 and not overwrite and query_params is None:
                 continue
             gate, scaled = atomic_cost_scaling(
