@@ -51,19 +51,7 @@ t_warm = time.time() - t0
 print(f"coords ({len(us)}): cold {t_cold:.2f}s warm {t_warm:.3f}s")
 
 if jax.default_backend() == "tpu":
-    import slam_decomposition_tpu.coverage.coverage as cov_mod
-
-    bk = jax.default_backend
-
-    class _F:
-        def __call__(self):
-            return "cpu"
-
-    jax.default_backend = lambda: "cpu"
-    try:
-        coords_cpu = weyl_coords_float(us)
-    finally:
-        jax.default_backend = bk
+    coords_cpu = weyl_coords_float(us, force_cpu=True)
     err = np.abs(coords_dev - coords_cpu).max()
     print(f"device-vs-f64 coordinate parity: max |delta| = {err:.2e}")
     assert err < 1e-7, err

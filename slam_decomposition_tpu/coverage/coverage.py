@@ -210,13 +210,18 @@ _WEYL_CPU_JIT = None
 _WEYL_TPU_JIT = None
 
 
-def weyl_coords_float(matrices: np.ndarray) -> np.ndarray:
+def weyl_coords_float(
+    matrices: np.ndarray, force_cpu: bool = False
+) -> np.ndarray:
     """Batched canonical Weyl coordinates (c1c2c3) with the same device
     routing policy as :func:`monodromy_reps_float`: large batches ride the
     accelerator via the mixed-precision eigensolve (one jitted call per
     fixed-shape chunk), small host-analysis probes stay on pinned CPU.
     This is the transpile passes' coordinate entry point — the round-1
     CPU-pinned `_c1c2c3_batch` (old transpile/passes.py:34-44) is gone.
+    ``force_cpu`` takes the pinned-CPU f64 path regardless of batch size —
+    the device-vs-f64 parity checks use it instead of monkeypatching the
+    backend query.
     """
     global _WEYL_CPU_JIT, _WEYL_TPU_JIT
     import jax
@@ -229,7 +234,7 @@ def weyl_coords_float(matrices: np.ndarray) -> np.ndarray:
         arr = arr[None]
     n = len(arr)
 
-    if jax.default_backend() == "tpu" and n >= 1024:
+    if not force_cpu and jax.default_backend() == "tpu" and n >= 1024:
         if _WEYL_TPU_JIT is None:
             _WEYL_TPU_JIT = jax.jit(weyl.c1c2c3_mixed)
         CHUNK, SMALL = 8192, 256  # the two fixed shapes (AOT compile cost)

@@ -185,6 +185,14 @@ def cost_scaling(
                                     _pad5(np.atleast_1d(scaled))])
             )
             written += 1
+    if query_params is not None:  # a match would have returned above
+        # the query matched no candidate (or one filtered out by the
+        # family/smush gates above) — fail loudly rather than returning the
+        # int `written` where the caller expects a (gate, scaled) tuple
+        raise KeyError(
+            f"query_params {list(query_params)} not in the candidate DB "
+            f"for group {group!r}"
+        )
     return written
 
 

@@ -82,6 +82,17 @@ def pick_winner(
     winner_scaled = None
 
     for params, scores in candidates:
+        if family_extension:
+            # same candidate filter as the batch cache (scaling.cost_scaling
+            # / reference duraton_scaling.py:127-144): family extension is
+            # only defined for the iSwap/CNOT/B families, and cached vs
+            # uncached selection must rank the same candidate set
+            from slam_decomposition_tpu.explore.scaling import (
+                _family_extendable,
+            )
+
+            if not _family_extendable(params):
+                continue
         if smush:
             from slam_decomposition_tpu.explore.smush_volume import smush_scores
 

@@ -169,14 +169,7 @@ def mutual_information_cost(U: cplx.CMat, state: str = "w", square: bool = False
     """Sum of bipartite mutual informations of U|prep> over the three cuts
     (MutualInformation / MutualInformationSquare, cost_function.py:68-99).
     Minimizing undoes the entanglement of the prepared W/GHZ state."""
-    dtype = U[0].dtype
-    psi = _w_state(dtype) if state == "w" else _ghz_state(dtype)
-    out = cplx.matvec(U, psi)
-    # full density matrix
-    rho = (
-        out[0][:, None] * out[0][None, :] + out[1][:, None] * out[1][None, :],
-        out[1][:, None] * out[0][None, :] - out[0][:, None] * out[1][None, :],
-    )
+    rho = _rho_of(U, state)
     total = 0.0
     for q in range(3):
         rho2 = _partial_trace_single(rho, q)  # two qubits kept

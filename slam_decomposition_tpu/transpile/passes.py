@@ -649,6 +649,16 @@ def fit_substituted_pd(
 # ------------------------------------------------ parallel-drive identities
 
 
+# family-classification tolerance for batched Weyl coordinates: must be
+# LOOSER than the worst-case error of the mixed-precision (f32 Jacobi +
+# f64 Rayleigh) device coordinate path used for >=1024-block circuits
+# (~1e-7, asserted in scripts/qft64_pass_timing.py) or CPU and TPU runs
+# classify near-degenerate blocks differently; treating a block within
+# 1e-6 of a named family as that family costs infidelity ~(1e-6)^2 --
+# far below the fidelity model's resolution.
+_CLASS_TOL = 1e-6
+
+
 def optimized_sqiswap_sub(
     circ: Circuit,
     duration_1q: float = 0.0,
@@ -681,9 +691,9 @@ def optimized_sqiswap_sub(
     # ONE k-assignment call per coverage set for the whole circuit instead
     # of a per-block membership probe (the reference looped per DAG node,
     # speed_limit_pass.py:176)
-    is_ctrl = (np.abs(coords[:, 1]) < 1e-9) & (np.abs(coords[:, 2]) < 1e-9)
-    is_swap = np.all(np.abs(coords - [0.5, 0.5, 0.5]) < 1e-9, axis=1)
-    is_iswap = np.all(np.abs(coords - [0.5, 0.5, 0.0]) < 1e-9, axis=1)
+    is_ctrl = (np.abs(coords[:, 1]) < _CLASS_TOL) & (np.abs(coords[:, 2]) < _CLASS_TOL)
+    is_swap = np.all(np.abs(coords - [0.5, 0.5, 0.5]) < _CLASS_TOL, axis=1)
+    is_iswap = np.all(np.abs(coords - [0.5, 0.5, 0.0]) < _CLASS_TOL, axis=1)
     general = ~(is_ctrl | is_swap | is_iswap)
     ks_iswap = np.zeros(len(blocks), dtype=int)
     ks_sq = np.zeros(len(blocks), dtype=int)
@@ -720,14 +730,14 @@ def optimized_sqiswap_sub(
         c = coords[i]
         sub = Circuit(2)
         _random_1q_layer(sub, rng, duration_1q)
-        if abs(c[1]) < 1e-9 and abs(c[2]) < 1e-9:
+        if abs(c[1]) < _CLASS_TOL and abs(c[2]) < _CLASS_TOL:
             # controlled family: parallel-driven iSwap fraction
             # (speed_limit_pass.py:385-396)
             frac = c[0] / 0.5
             g, g_np = scaled_fraction(frac)
             sub.append("pd_iswap", (0, 1), matrix=g_np, duration=g.duration)
             plans[i] = [float(frac)]
-        elif np.allclose(c, [0.5, 0.5, 0.5], atol=1e-9):
+        elif np.allclose(c, [0.5, 0.5, 0.5], atol=_CLASS_TOL):
             # SWAP = pd-iSwap then sqiswap (speed_limit_pass.py:398-423)
             sub.append("pd_iswap", (0, 1), matrix=scaled_iswap_np,
                        duration=scaled_iswap.duration)
@@ -735,7 +745,7 @@ def optimized_sqiswap_sub(
             g, g_np = scaled_fraction(0.5)
             sub.append("pd_sqiswap", (0, 1), matrix=g_np, duration=g.duration)
             plans[i] = [1.0, 0.5]
-        elif np.allclose(c, [0.5, 0.5, 0.0], atol=1e-9):
+        elif np.allclose(c, [0.5, 0.5, 0.0], atol=_CLASS_TOL):
             sub.append("pd_iswap", (0, 1), matrix=scaled_iswap_np,
                        duration=scaled_iswap.duration)
             plans[i] = [1.0]

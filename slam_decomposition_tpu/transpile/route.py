@@ -21,6 +21,17 @@ import numpy as np
 from slam_decomposition_tpu.transpile.ir import Circuit
 
 
+# basic-pipeline block durations used for all routing-side makespan
+# estimates (duration_proxy, schedule_for_duration, _sabre_once's emit and
+# swap accounting): 1Q layer 0.25; consolidated 2-application sqiswap block
+# 2*0.5 + 3*0.25 = 1.75; 3-application (swap-carrying) block 2.25. One
+# source of truth — if the transpile passes' duration model changes, the
+# router must score the same objective the benchmark measures.
+DUR_1Q = 0.25
+DUR_2APP = 1.75
+DUR_3APP = 2.25
+
+
 def grid_coupling(rows: int, cols: int) -> List[Tuple[int, int]]:
     """Edges of a rows x cols grid, row-major numbering
     (CouplingMap.from_grid analog)."""
@@ -96,9 +107,9 @@ def _commute(a, b) -> bool:
 
 def duration_proxy(
     circ: Circuit,
-    dur_1q: float = 0.25,
-    dur_2app: float = 1.75,
-    dur_3app: float = 2.25,
+    dur_1q: float = DUR_1Q,
+    dur_2app: float = DUR_2APP,
+    dur_3app: float = DUR_3APP,
 ) -> float:
     """Cheap estimate of the basic-pipeline duration of a routed circuit:
     consolidate 2Q blocks, then ASAP makespan with 2-application blocks at
@@ -165,9 +176,9 @@ def _commute_dag(ops, relax: bool = True) -> Tuple[List[int], List[List[int]]]:
 
 def schedule_for_duration(
     circ: Circuit,
-    dur_1q: float = 0.25,
-    dur_2q: float = 1.75,
-    dur_swap: float = 2.25,
+    dur_1q: float = DUR_1Q,
+    dur_2q: float = DUR_2APP,
+    dur_swap: float = DUR_3APP,
 ) -> Circuit:
     """Reorder ops (semantics preserved via the commutation DAG) to
     minimize the ASAP makespan of the emitted order: critical-path list
@@ -225,6 +236,7 @@ def _sabre_once(
     final_layout: Optional[List[int]] = None,
     relax: bool = True,
     depth_w: float = 0.35,
+    swap_busy: bool = True,
 ) -> Circuit:
     """One routing pass with a fixed initial layout. ``layout[logical] =
     physical``. Returns the routed circuit on physical qubits; if
@@ -250,8 +262,8 @@ def _sabre_once(
         mapped = tuple(pi[q] for q in op.qubits)
         out.append(dataclasses.replace(op, qubits=mapped))
         t0 = max(finish[p] for p in mapped)
-        dop = 0.25 if op.n_qubits == 1 else (
-            2.25 if op.name == "swap" else 1.75
+        dop = DUR_1Q if op.n_qubits == 1 else (
+            DUR_3APP if op.name == "swap" else DUR_2APP
         )
         for p in mapped:
             finish[p] = t0 + dop
@@ -331,6 +343,18 @@ def _sabre_once(
         best = min(sorted(cand_swaps), key=score)
         a, b = best
         out.append("swap", (a, b))
+        if swap_busy:
+            # account the inserted swap's duration in the busy-until map the
+            # depth term reads. Both accountings are useful heuristics —
+            # counting self-inserted swaps steers later swaps onto cold
+            # wires (helps random circuits); ignoring them biases toward
+            # reusing recently-swapped wires, which consolidation then
+            # absorbs (helps structured cascades) — so route() tries both
+            # and lets the duration score arbitrate.
+            t0 = max(finish[a], finish[b])
+            finish[a] = finish[b] = t0 + DUR_3APP
+            pair = (min(a, b), max(a, b))
+            last_pair[a] = last_pair[b] = pair
         la, lb = inv.get(a), inv.get(b)
         if la is not None:
             pi[la] = b
@@ -388,20 +412,26 @@ def route(
         # tried — commutation-relaxed routing saves many swaps on
         # structured circuits but can serialize the critical path, so the
         # duration score arbitrates.
-        for relax, depth_w in (
-            (True, 0.35), (False, 0.35), (True, 0.0), (False, 0.0)
+        # depth_w=0 never reads the busy-until map, so swap_busy is
+        # irrelevant there — try both accountings only for the depth-aware
+        # configs (see the swap_busy note in _sabre_once)
+        for relax, depth_w, swap_busy in (
+            (True, 0.35, True), (False, 0.35, True),
+            (True, 0.35, False), (False, 0.35, False),
+            (True, 0.0, True), (False, 0.0, True),
         ):
             cur = list(lay)
             for _ in range(2):
                 fl: List[int] = []
                 _sabre_once(rev, edges, dist, cur, final_layout=fl,
-                            relax=relax, depth_w=depth_w)
+                            relax=relax, depth_w=depth_w,
+                            swap_busy=swap_busy)
                 cur = fl
                 fl = []
                 init = list(cur)
                 routed = _sabre_once(circ, edges, dist, cur,
                                      final_layout=fl, relax=relax,
-                                     depth_w=depth_w)
+                                     depth_w=depth_w, swap_busy=swap_busy)
                 # fix the emission order: swap-greedy routing may emit
                 # commuting siblings ahead of critical-chain gates
                 routed = schedule_for_duration(routed)

@@ -23,20 +23,22 @@ import numpy as np
 
 from slam_decomposition_tpu.models import gates as G
 
-_COVERAGE = None
+_COVERAGE: dict = {}
 
 
 def syc_coverage(max_layers: int = 8):
     """Coverage set for the SYC basis (cached on disk like every other
-    coverage pickle; gate_set_to_coverage handles the build)."""
-    global _COVERAGE
-    if _COVERAGE is None:
+    coverage pickle; gate_set_to_coverage handles the build). Memoized per
+    max_layers — a smaller request must not silently reuse a deeper set."""
+    if max_layers not in _COVERAGE:
         from slam_decomposition_tpu.coverage.coverage import (
             gate_set_to_coverage,
         )
 
-        _COVERAGE = gate_set_to_coverage(G.syc(), max_layers=max_layers)
-    return _COVERAGE
+        _COVERAGE[max_layers] = gate_set_to_coverage(
+            G.syc(), max_layers=max_layers
+        )
+    return _COVERAGE[max_layers]
 
 
 def syc_counts_batch(targets) -> np.ndarray:
