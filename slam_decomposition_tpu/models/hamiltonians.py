@@ -174,6 +174,53 @@ def smush_1q_phase_u(
     return U
 
 
+def evolve_piecewise(Hs: cplx.CMat, psi0: cplx.CMat, dt) -> cplx.CMat:
+    """States after each slice of a piecewise-constant Hamiltonian.
+
+    Hs is a (n, d, d) cplx pair (slice axis leading), psi0 a (d,) pair;
+    returns the (n+1, d) pair [psi0, psi1, ..., psin] with
+    psi_{i+1} = expm(-i dt H_i) psi_i — one ``lax.scan``, exactly
+    differentiable. Covers the reference's qutip ``mesolve`` usage for
+    closed-system population dynamics (scripts/hamiltonian_sim.ipynb
+    cells 1-2: excited-state transfer under ConversionGainSmush).
+    """
+    dt = jnp.asarray(dt, dtype=Hs[0].dtype)
+
+    def step(psi, H):
+        A = (H[1] * dt, -H[0] * dt)
+        Ui = expm_taylor(A)
+        psi = cplx.matvec(Ui, psi)
+        return psi, psi
+
+    _, states = jax.lax.scan(step, psi0, Hs)
+    return (
+        jnp.concatenate([psi0[0][None], states[0]], axis=0),
+        jnp.concatenate([psi0[1][None], states[1]], axis=0),
+    )
+
+
+def evolve_smush(
+    phi_c, phi_g, gc, gg, gx_vec, gy_vec, psi0, t=1.0, dtype=jnp.float64
+) -> cplx.CMat:
+    """Population dynamics under the smush Hamiltonian's drive slices.
+
+    Returns the (n_slices+1, 4) state pair along the pulse; pair with
+    ``populations`` for the notebook's mesolve population plots.
+    """
+    gx_vec = jnp.asarray(gx_vec, dtype=dtype)
+    gy_vec = jnp.asarray(gy_vec, dtype=dtype)
+    n = gx_vec.shape[-1]
+    Hs = jax.vmap(
+        lambda gx, gy: smush_h(phi_c, phi_g, gc, gg, gx, gy, dtype=dtype)
+    )(jnp.moveaxis(gx_vec, -1, 0), jnp.moveaxis(gy_vec, -1, 0))
+    return evolve_piecewise(Hs, psi0, jnp.asarray(t, dtype=dtype) / n)
+
+
+def populations(states: cplx.CMat) -> jnp.ndarray:
+    """|amplitude|^2 per basis state, any leading batch/time axes."""
+    return states[0] ** 2 + states[1] ** 2
+
+
 def fsim_h(g, eta, dtype=jnp.float64) -> cplx.CMat:
     """H = g (s+ s- + s- s+) + (g^2/|eta|) ZZ. Reference hamiltonian.py:220-235."""
     g = jnp.asarray(g, dtype=dtype)

@@ -105,6 +105,33 @@ def consolidate_2q_blocks(circ: Circuit) -> List[Block]:
     return blocks
 
 
+def block_coordinate_counts(circ: Circuit, decimals: int = 4) -> dict:
+    """Histogram of consolidated 2Q-block Weyl coordinates.
+
+    The reference's "shot chart" study (scripts/shot_chart.ipynb): collect
+    + consolidate every 2Q block of a (routed) benchmark circuit, map each
+    block to its Weyl coordinate, and count occupancy per coordinate —
+    e.g. the SWAP-class vs CNOT-class ratio that motivates speed-limit
+    winner weighting. Coordinates are computed in ONE batched call
+    (coverage.weyl_coords_float routing policy) instead of the notebook's
+    per-block weylchamber.c1c2c3 loop, and keyed rounded to ``decimals``.
+    """
+    import numpy as np
+
+    from slam_decomposition_tpu.coverage.coverage import weyl_coords_float
+
+    blocks = consolidate_2q_blocks(circ)
+    if not blocks:
+        return {}
+    mats = np.stack([b.unitary for b in blocks])
+    coords = np.round(weyl_coords_float(mats), decimals) + 0.0  # -0.0 -> 0.0
+    counts: dict = {}
+    for c in coords:
+        key = tuple(float(x) for x in c)
+        counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
 def consolidated_circuit(circ: Circuit) -> Circuit:
     """Rebuild the circuit with each block as a single 'unitary2q' op,
     emitted at the position of the block's last op (ops on other qubits

@@ -47,3 +47,32 @@ def test_improved_swap_exact_certifies():
     # locals are unitary
     for W in (A1, B1, A2, B2):
         np.testing.assert_allclose(W @ W.conj().T, np.eye(2), atol=1e-9)
+
+
+def test_evolve_smush_population_transfer():
+    # conversion-only coupling swaps the excitation |01> -> |10>; the
+    # population curves are cos^2/sin^2 (hamiltonian_sim.ipynb's mesolve
+    # study, here one scan)
+    n = 32
+    psi0 = (jnp.zeros(4).at[1].set(1.0), jnp.zeros(4))
+    states = ham.evolve_smush(
+        0.0, 0.0, np.pi / 2, 0.0, np.zeros(n), np.zeros(n), psi0
+    )
+    pops = np.asarray(ham.populations(states))
+    assert pops.shape == (n + 1, 4)
+    np.testing.assert_allclose(pops.sum(axis=1), 1.0, atol=1e-12)  # norm
+    np.testing.assert_allclose(pops[0], [0, 1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(pops[-1], [0, 0, 1, 0], atol=1e-9)
+    ts = np.arange(n + 1) / n
+    np.testing.assert_allclose(
+        pops[:, 1], np.cos(np.pi / 2 * ts) ** 2, atol=1e-9
+    )
+    # endpoint equals applying the full smush propagator
+    U = ham.smush_u(0.0, 0.0, np.pi / 2, 0.0, np.zeros(n), np.zeros(n))
+    psiT = cplx.matvec(U, psi0)
+    np.testing.assert_allclose(
+        np.asarray(states[0][-1]), np.asarray(psiT[0]), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(states[1][-1]), np.asarray(psiT[1]), atol=1e-9
+    )

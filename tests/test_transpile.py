@@ -353,3 +353,16 @@ def test_qft_routing_beats_duration_bar():
         for s in range(10)
     )
     assert best < 127.5, f"routed QFT-16 proxy duration {best}"
+
+
+def test_block_coordinate_counts_shot_chart():
+    from slam_decomposition_tpu.transpile.consolidate import (
+        block_coordinate_counts,
+    )
+
+    c = Circuit(3)
+    c.append("cx", (0, 1))
+    c.append("swap", (1, 2))
+    c.append("cx", (0, 1))
+    counts = block_coordinate_counts(c)
+    assert counts == {(0.5, 0.0, 0.0): 2, (0.5, 0.5, 0.5): 1}
