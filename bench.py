@@ -51,7 +51,11 @@ from slam_decomposition_tpu.opt.samplers import haar_sample
 from slam_decomposition_tpu.ops import cplx
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 2_500
+CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+# bucket tails dispatch in smaller chunks to cap padding waste (a k=3
+# bucket of 21k at CHUNK=10k would otherwise pad 30%); both shapes'
+# executables are exercised by the warmup pass
+TAIL_CHUNK = min(2_500, CHUNK)
 RESTARTS = 4
 THRESH = 1e-10
 NORTH_STAR_RATE = 10_000 / 60.0
@@ -75,18 +79,28 @@ def solve_bucket(T, idx, solver, ansatz, key):
     n = len(idx)
     losses = np.empty(n)
     futs = []
-    for s in range(0, n, CHUNK):
-        part_idx = idx[s : s + CHUNK]
+    # chunk plan: full-size chunks, then a tail in TAIL_CHUNK-size pieces
+    # (launch count stays low where it matters; padding stays <TAIL_CHUNK)
+    plan = []
+    s = 0
+    while n - s >= CHUNK:
+        plan.append((s, CHUNK))
+        s += CHUNK
+    while s < n:
+        plan.append((s, TAIL_CHUNK))
+        s += TAIL_CHUNK
+    for s, ch in plan:
+        part_idx = idx[s : s + ch]
         valid = len(part_idx)
-        if valid < CHUNK:
+        if valid < ch:
             part_idx = np.concatenate(
-                [part_idx, np.repeat(part_idx[:1], CHUNK - valid)]
+                [part_idx, np.repeat(part_idx[:1], ch - valid)]
             )
         ii = jnp.asarray(part_idx, dtype=jnp.int32)
         tgt = (jnp.take(T[0], ii, axis=0), jnp.take(T[1], ii, axis=0))
         key, sub = jax.random.split(key)
         x0 = jax.random.uniform(
-            sub, (CHUNK, RESTARTS, ansatz.n_params), dtype=jnp.float64
+            sub, (ch, RESTARTS, ansatz.n_params), dtype=jnp.float64
         ) * (2 * np.pi)
         _, bf = solver(x0, tgt)
         futs.append((s, valid, bf))
