@@ -69,15 +69,16 @@ def build(k):
     )
 
 
-def solve_bucket(T, idx, solver, ansatz, key):
-    """Solve the targets T[idx] in fixed-size chunks (pad the tail by
-    repetition). Targets stay device-resident (T was uploaded ONCE for the
-    whole run — the host<->device tunnel at ~18 MB/s is the bottleneck,
-    not compute); chunks are gathered on device from int32 index arrays.
-    All chunks are launched before any is synced — the device queue then
-    pipelines chunk N+1's compute with chunk N's host-side gather."""
+def launch_bucket(T, idx, solver, ansatz, key):
+    """Launch solves for the targets T[idx] in fixed-size chunks (pad the
+    tail by repetition); return the chunk futures WITHOUT syncing any.
+    Targets stay device-resident (T was uploaded ONCE for the whole run —
+    the host<->device tunnel at ~18 MB/s is the bottleneck, not compute);
+    chunks are gathered on device from int32 index arrays. The caller
+    downloads every bucket's results in ONE jax.device_get: a serial
+    np.asarray per chunk costs a ~26 ms tunnel round trip each, which at
+    B=100k (15+ chunks) was rivaling the solve compute itself."""
     n = len(idx)
-    losses = np.empty(n)
     futs = []
     # chunk plan: full-size chunks, then a tail in TAIL_CHUNK-size pieces
     # (launch count stays low where it matters; padding stays <TAIL_CHUNK)
@@ -104,18 +105,33 @@ def solve_bucket(T, idx, solver, ansatz, key):
         ) * (2 * np.pi)
         _, bf = solver(x0, tgt)
         futs.append((s, valid, bf))
-    for s, valid, bf in futs:
-        losses[s : s + valid] = np.asarray(bf)[:valid]
-    return losses, key
+    return futs, key
+
+
+def collect_buckets(pending):
+    """One parallel transfer for every launched chunk across all buckets;
+    returns the per-bucket loss arrays in order."""
+    flat = [bf for _, futs in pending for (_, _, bf) in futs]
+    got = iter(jax.device_get(flat))
+    out = []
+    for idx, futs in pending:
+        losses = np.empty(len(idx))
+        for s, valid, _ in futs:
+            losses[s : s + valid] = next(got)[:valid]
+        out.append(losses)
+    return out
 
 
 def run(T, n_targets, key, s2, a2, s3, a3, ks):
     losses = np.empty(n_targets)
+    pending = []
     for k, solver, ansatz in ((2, s2, a2), (3, s3, a3)):
         idx = np.where(ks == k)[0]
         if len(idx) == 0:
             continue
-        l, key = solve_bucket(T, idx, solver, ansatz, key)
+        futs, key = launch_bucket(T, idx, solver, ansatz, key)
+        pending.append((idx, futs))
+    for (idx, _), l in zip(pending, collect_buckets(pending)):
         losses[idx] = l
     # rescue rounds: unconverged targets re-solve at k=3 with fresh seeds
     # (the reference's spanning-range extension + restart ladder,
@@ -124,7 +140,8 @@ def run(T, n_targets, key, s2, a2, s3, a3, ks):
         stuck = np.where(losses > THRESH)[0]
         if len(stuck) == 0:
             break
-        l, key = solve_bucket(T, stuck, s3, a3, key)
+        futs, key = launch_bucket(T, stuck, s3, a3, key)
+        (l,) = collect_buckets([(stuck, futs)])
         losses[stuck] = np.minimum(losses[stuck], l)
     return losses
 

@@ -202,7 +202,12 @@ def _monodromy_reps_tpu(arr: np.ndarray) -> np.ndarray:
             if m < CHUNK:
                 part = np.concatenate([part, np.repeat(part[:1], CHUNK - m, 0)])
             futs.append((_MONODROMY_TPU_JIT(cplx.from_numpy(part)), m))
-        reps = np.concatenate([np.asarray(f)[:m] for f, m in futs])
+        # ONE parallel transfer for all chunk results: serial np.asarray
+        # costs a ~26 ms tunnel round trip PER chunk on this rig;
+        # jax.device_get on the list overlaps them (0.33 s -> 0.03 s for
+        # 13 chunks, measured)
+        got = jax.device_get([f for f, _ in futs])
+        reps = np.concatenate([g[:m] for g, (_, m) in zip(got, futs)])
     return reps[0] if single else reps
 
 
@@ -574,7 +579,11 @@ def monodromy_ks_batch(coverage, targets) -> np.ndarray:
             )
         futs.append((chunk_fn(part0, part1), m))
         s += m
-    idx = np.concatenate([np.asarray(f)[:m] for f, m in futs])
+    # one parallel transfer for every chunk's int32 results (serial
+    # np.asarray pays a ~26 ms tunnel round trip per chunk; this was the
+    # dominant cost of the whole ranges step at B=100k: 0.33 of 0.46 s)
+    got = jax.device_get([f for f, _ in futs])
+    idx = np.concatenate([g[:m] for g, (_, m) in zip(got, futs)])
     if (idx == -2).any():
         raise ValueError("no coverage polytope contains some targets")
     ks = np.where(idx < 0, 0, ks_of_layer[np.maximum(idx, 0)])
