@@ -211,3 +211,34 @@ def test_monodromy_ks_batch_on_tpu_parity_4096():
     ks_dev = monodromy_ks_batch(cov, targets)  # TPU path (n >= 1024)
     ks_ref = np.array([k for k, _ in monodromy_ranges_batch(cov, targets)])
     np.testing.assert_array_equal(ks_dev, ks_ref)
+
+
+@_pytest.mark.skipif(
+    _jax.default_backend() != "tpu",
+    reason="on-chip parity for the multi-chunk TPU dispatch (8192-chunked "
+    "launches + single parallel device_get download)",
+)
+def test_monodromy_ks_batch_on_tpu_multichunk_parity():
+    """>CHUNK batch: 3 chunks incl. a padded SMALL tail, results fetched
+    in one parallel transfer — the B=100k bench dispatch shape, vs the
+    host fallback. Also accepts a device-resident cplx pair (the bench's
+    upload-once form)."""
+    import numpy as np
+
+    from slam_decomposition_tpu.coverage.coverage import (
+        gate_set_to_coverage,
+        monodromy_ks_batch,
+        monodromy_ranges_batch,
+    )
+    from slam_decomposition_tpu.models import gates
+    from slam_decomposition_tpu.ops import cplx
+    from slam_decomposition_tpu.opt.samplers import haar_sample
+
+    cov = gate_set_to_coverage(gates.cg_sqiswap())
+    n = 2 * 8192 + 100  # two full chunks + SMALL-padded tail
+    targets = haar_sample(n, seed=11)
+    ks_np = monodromy_ks_batch(cov, targets)
+    ks_pair = monodromy_ks_batch(cov, cplx.from_numpy(targets))
+    ks_ref = np.array([k for k, _ in monodromy_ranges_batch(cov, targets)])
+    np.testing.assert_array_equal(ks_np, ks_ref)
+    np.testing.assert_array_equal(ks_pair, ks_ref)
