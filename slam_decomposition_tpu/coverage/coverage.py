@@ -253,7 +253,10 @@ def weyl_coords_float(
                 part = np.concatenate([part, np.repeat(part[:1], size - m, 0)])
             futs.append((_WEYL_TPU_JIT(cplx.from_numpy(part)), m))
             s += m
-        out = np.concatenate([np.asarray(f)[:m] for f, m in futs])
+        # one parallel transfer (serial per-chunk np.asarray pays a ~26 ms
+        # tunnel round trip each — see monodromy_ks_batch)
+        got = jax.device_get([f for f, _ in futs])
+        out = np.concatenate([g[:m] for g, (_, m) in zip(got, futs)])
         return out[0] if single else out
 
     if _WEYL_CPU_JIT is None:

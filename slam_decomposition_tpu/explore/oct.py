@@ -25,7 +25,12 @@ Functionals (0 = goal reached, matching the notebook's usage):
                   (Watts et al. / Goerz et al., PRA 91 062306/062307, the
                   functional behind ``make_PE_krotov_chi_constructor`` in
                   the notebook, cell 19): drive the gate INTO the
-                  perfect-entangler polytope; <= 0 means done.
+                  perfect-entangler polytope. The returned solution is
+                  the first iterate passing the EXACT membership test
+                  (``is_perfect_entangler``) — that, not the sign of
+                  ``value``, is the success verdict (if no iterate is a
+                  PE, the closest-to-boundary |F_PE| iterate is returned
+                  and membership on ``result.U`` reads False).
 
 The Krotov update shape S(t) (notebook cell 15, ``krotov.shapes.flattop``
 with sin^2 ramps) is enforced structurally: raw parameters are multiplied
@@ -73,7 +78,13 @@ def pe_functional(U: cplx.CMat) -> jnp.ndarray:
     verdict anywhere use ``is_perfect_entangler``.
     """
     g = weyl.g1g2g3(U)
-    return g[..., 2] * jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2) - g[..., 0]
+    # 1e-300 guards the sqrt cusp at g1=g2=0 (the CNOT/B classes sit
+    # exactly there) — same convention as the sqrt-based costs in
+    # opt/costs.py; without it the gradient is NaN at the cusp
+    return (
+        g[..., 2] * jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2 + 1e-300)
+        - g[..., 0]
+    )
 
 
 def is_perfect_entangler(U: cplx.CMat, tol: float = 1e-9) -> jnp.ndarray:
@@ -192,21 +203,24 @@ def optimize_pulses(
         desc = jnp.maximum(val, 0.0) if is_pe else val
         return desc + amp_penalty * jnp.mean(p * p), val
 
-    vg = jax.grad(lambda p: objective(p)[0])
+    vg = jax.value_and_grad(objective, has_aux=True)
 
     def run(p0):
+        # one forward+backward per iteration: the raw functional value
+        # rides along as value_and_grad's aux, logged at the PRE-update
+        # point it was evaluated at (so hist[i] pairs with p_hist[i])
         def step(carry, i):
             p, m, v = carry
-            g = vg(p)
+            (_, val), g = vg(p)
             m = 0.9 * m + 0.1 * g
             v = 0.999 * v + 0.001 * (g * g)
             mhat = m / (1.0 - 0.9 ** (i + 1.0))
             vhat = v / (1.0 - 0.999 ** (i + 1.0))
             step_lr = lr * (0.5 ** (i / (iters / 3.0)))
-            p = p - step_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
-            return (p, m, v), (objective(p)[1], p)
+            p_new = p - step_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+            return (p_new, m, v), (val, p)
 
-        (p, _, _), (hist, p_hist) = jax.lax.scan(
+        _, (hist, p_hist) = jax.lax.scan(
             step,
             (p0, jnp.zeros_like(p0), jnp.zeros_like(p0)),
             jnp.arange(iters, dtype=jnp.float64),
@@ -235,8 +249,11 @@ def optimize_pulses(
             order = jnp.arange(hist.size, dtype=jnp.float64).reshape(hist.shape)
             score = jnp.where(member, order, jnp.inf)
             any_pe = member.any()
+            # fallback when NO iterate is an exact PE: closest-to-boundary
+            # |F_PE| — raw argmin(F_PE) would prefer deep SWAP-side
+            # iterates (the functional's blind face) that are NOT PEs
             idx = jnp.where(
-                any_pe, jnp.argmin(score), jnp.argmin(hist)
+                any_pe, jnp.argmin(score), jnp.argmin(jnp.abs(hist))
             )
         else:
             idx = jnp.argmin(hist[:, -1]) * iters + (iters - 1)
@@ -244,7 +261,13 @@ def optimize_pulses(
         return p_hist[r, i], hist[r, i], hist[r]
 
     raw, value, history = solve(jax.random.PRNGKey(seed))
-    w = getattr(eval_fn, "window", flattop(n_slices))
+    w = getattr(eval_fn, "window", None)
+    if w is None:
+        raise ValueError(
+            "eval_fn must carry its update-shape window as `.window` "
+            "(make_smush_eval sets it); refusing to guess — reported "
+            "pulses would not match the propagator otherwise"
+        )
     U = eval_fn(raw)
     return OCTResult(
         pulses=np.asarray(raw * w),

@@ -116,7 +116,7 @@ def block_coordinate_counts(circ: Circuit, decimals: int = 4) -> dict:
     (coverage.weyl_coords_float routing policy) instead of the notebook's
     per-block weylchamber.c1c2c3 loop, and keyed rounded to ``decimals``.
     """
-    import numpy as np
+    from collections import Counter
 
     from slam_decomposition_tpu.coverage.coverage import weyl_coords_float
 
@@ -125,11 +125,7 @@ def block_coordinate_counts(circ: Circuit, decimals: int = 4) -> dict:
         return {}
     mats = np.stack([b.unitary for b in blocks])
     coords = np.round(weyl_coords_float(mats), decimals) + 0.0  # -0.0 -> 0.0
-    counts: dict = {}
-    for c in coords:
-        key = tuple(float(x) for x in c)
-        counts[key] = counts.get(key, 0) + 1
-    return counts
+    return dict(Counter(tuple(float(x) for x in c) for c in coords))
 
 
 def consolidated_circuit(circ: Circuit) -> Circuit:
