@@ -479,34 +479,23 @@ def monodromy_range_from_target(
 _KS_JIT_CACHE: dict = {}
 
 
-def monodromy_ks_batch(coverage, targets) -> np.ndarray:
-    """k-assignment only (the bench/bucketing hot path), device-resident:
-    coordinates AND halfspace membership run in one jitted call per chunk;
-    the host sees only the int32 k per target.
+def make_ks_assign_fn(coverage):
+    """Pure jittable k-assignment kernel for a coverage set.
 
-    ``targets``: (N, 4, 4) complex numpy array or an on-device cplx pair —
-    the pair form avoids re-uploading targets the solver already holds
-    (the host<->device tunnel is the bottleneck at ~18 MB/s, not compute).
-    Non-TPU backends fall back to :func:`monodromy_ranges_batch`.
+    Returns ``(cache_key, assign_fn, ks_of_layer)`` where
+    ``assign_fn(U0, U1) -> int32[n]`` maps a batch of target unitaries
+    (cplx pair) to the index of the cheapest covering layer (-1 for the
+    identity class, -2 for uncovered), entirely on device: mixed-precision
+    monodromy coordinates + halfspace membership in one program.
+    ``ks_of_layer[idx]`` then gives the application count k. Consumers:
+    :func:`monodromy_ks_batch` (chunked single-device dispatch) and
+    ``parallel.mesh.sharded_ks`` (dp-sharded mesh form).
     """
-    import jax
     import jax.numpy as jnp
 
-    from slam_decomposition_tpu.ops import cplx, weyl
+    from slam_decomposition_tpu.ops import weyl
 
-    if isinstance(targets, np.ndarray):
-        targets = np.asarray(targets)
-        if targets.ndim == 2:  # auto-batch a single (4,4) like the siblings
-            targets = targets[None]
-
-    if jax.default_backend() != "tpu":
-        if not isinstance(targets, np.ndarray):
-            targets = cplx.to_numpy(targets)
-        return np.array(
-            [k for k, _ in monodromy_ranges_batch(coverage, targets)]
-        )
-
-    # ---- host-side layer tables (tiny; uploaded once per coverage)
+    # host-side layer tables (tiny; uploaded once per coverage)
     layers = sorted([c for c in coverage if c.cost > 0], key=lambda c: c.cost)
     subs = []  # (layer_idx, ineq rows, eq rows)
     for li, cp in enumerate(layers):
@@ -534,31 +523,61 @@ def monodromy_ks_batch(coverage, targets) -> np.ndarray:
         hash(A_eq.tobytes()),
         hash(onehot.tobytes()),
     )
+    Ain_d = jnp.asarray(A_in)
+    Aeq_d = jnp.asarray(A_eq)
+    onehot_d = jnp.asarray(onehot)
+
+    def assign_fn(U0, U1):
+        reps = weyl.monodromy_coords_mixed((U0, U1))[..., :3]  # (n,2,3)
+        tol = 1e-8
+        vals = Ain_d[:, :, 0][None, None] + jnp.einsum(
+            "nrk,sjk->nrsj", reps, Ain_d[:, :, 1:]
+        )
+        ok = (vals >= -tol).all(-1)
+        evals = Aeq_d[:, :, 0][None, None] + jnp.einsum(
+            "nrk,sjk->nrsj", reps, Aeq_d[:, :, 1:]
+        )
+        ok = ok & (jnp.abs(evals) <= tol).all(-1)
+        member = ((ok.any(1).astype(jnp.float32)) @ onehot_d) > 0  # (n,L)
+        first = jnp.argmax(member, axis=1)
+        assigned = member.any(axis=1)
+        is_id = (jnp.abs(reps) < 1e-9).all(-1).any(-1)
+        idx = jnp.where(is_id, -1, jnp.where(assigned, first, -2))
+        return idx.astype(jnp.int32)
+
+    return key, assign_fn, ks_of_layer
+
+
+def monodromy_ks_batch(coverage, targets) -> np.ndarray:
+    """k-assignment only (the bench/bucketing hot path), device-resident:
+    coordinates AND halfspace membership run in one jitted call per chunk;
+    the host sees only the int32 k per target.
+
+    ``targets``: (N, 4, 4) complex numpy array or an on-device cplx pair —
+    the pair form avoids re-uploading targets the solver already holds
+    (the host<->device tunnel is the bottleneck at ~18 MB/s, not compute).
+    Non-TPU backends fall back to :func:`monodromy_ranges_batch`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slam_decomposition_tpu.ops import cplx
+
+    if isinstance(targets, np.ndarray):
+        targets = np.asarray(targets)
+        if targets.ndim == 2:  # auto-batch a single (4,4) like the siblings
+            targets = targets[None]
+
+    if jax.default_backend() != "tpu":
+        if not isinstance(targets, np.ndarray):
+            targets = cplx.to_numpy(targets)
+        return np.array(
+            [k for k, _ in monodromy_ranges_batch(coverage, targets)]
+        )
+
+    key, assign_fn, ks_of_layer = make_ks_assign_fn(coverage)
     if key not in _KS_JIT_CACHE:
-        Ain_d = jnp.asarray(A_in)
-        Aeq_d = jnp.asarray(A_eq)
-        onehot_d = jnp.asarray(onehot)
-
-        @jax.jit
-        def chunk_fn(U0, U1):
-            reps = weyl.monodromy_coords_mixed((U0, U1))[..., :3]  # (n,2,3)
-            tol = 1e-8
-            vals = Ain_d[:, :, 0][None, None] + jnp.einsum(
-                "nrk,sjk->nrsj", reps, Ain_d[:, :, 1:]
-            )
-            ok = (vals >= -tol).all(-1)
-            evals = Aeq_d[:, :, 0][None, None] + jnp.einsum(
-                "nrk,sjk->nrsj", reps, Aeq_d[:, :, 1:]
-            )
-            ok = ok & (jnp.abs(evals) <= tol).all(-1)
-            member = ((ok.any(1).astype(jnp.float32)) @ onehot_d) > 0  # (n,L)
-            first = jnp.argmax(member, axis=1)
-            assigned = member.any(axis=1)
-            is_id = (jnp.abs(reps) < 1e-9).all(-1).any(-1)
-            idx = jnp.where(is_id, -1, jnp.where(assigned, first, -2))
-            return idx.astype(jnp.int32)
-
-        _KS_JIT_CACHE[key] = chunk_fn
+        _KS_JIT_CACHE[key] = jax.jit(assign_fn)
     chunk_fn = _KS_JIT_CACHE[key]
 
     if isinstance(targets, np.ndarray):

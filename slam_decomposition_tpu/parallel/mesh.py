@@ -83,6 +83,40 @@ def sharded_solver(
     )
 
 
+def sharded_ks(coverage, mesh: Mesh):
+    """Mesh-sharded k-assignment: the bench pipeline's ranges stage
+    (coverage.monodromy_ks_batch) over every device of the mesh.
+
+    The target batch shards across BOTH mesh axes (k-assignment has no
+    restart dimension, so 'rp' devices would otherwise idle); coordinates
+    + halfspace membership run device-local with zero collectives — the
+    axis is embarrassingly parallel. Returns ``ks_fn(T0, T1) -> int32 ks``
+    taking a device or host (B, 4, 4) pair, B divisible by the device
+    count (see :func:`pad_to_multiple`).
+
+    Completes the multi-chip pipeline story: ranges (here) + solve
+    (:func:`sharded_solver` / :func:`sharded_solver_smap`) are both
+    sharded; __graft_entry__.dryrun_multichip runs both per driver round.
+    """
+    from slam_decomposition_tpu.coverage.coverage import make_ks_assign_fn
+
+    _, assign_fn, ks_of_layer = make_ks_assign_fn(coverage)
+    shard = NamedSharding(mesh, P(("dp", "rp"), None, None))
+    fn = jax.jit(
+        assign_fn,
+        in_shardings=(shard, shard),
+        out_shardings=NamedSharding(mesh, P(("dp", "rp"))),
+    )
+
+    def ks_fn(T0, T1) -> np.ndarray:
+        idx = np.asarray(fn(T0, T1))
+        if (idx == -2).any():
+            raise ValueError("no coverage polytope contains some targets")
+        return np.where(idx < 0, 0, ks_of_layer[np.maximum(idx, 0)])
+
+    return ks_fn
+
+
 def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
     """Pad batch to a device-count multiple (static shapes for pjit)."""
     b = arr.shape[axis]

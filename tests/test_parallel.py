@@ -122,3 +122,28 @@ def test_sharded_solver_smap_matches_unsharded():
     bx_ref, bf_ref = jax.jit(plain)(x0s, targets)
     assert bx.shape == (B, ansatz.n_params)
     np.testing.assert_allclose(np.asarray(bf), np.asarray(bf_ref), atol=1e-9)
+
+
+def test_sharded_ks_matches_host_ranges():
+    """The mesh-sharded ranges stage (coords + membership over dp x rp)
+    agrees exactly with the host fallback — the last unsharded piece of
+    the bench pipeline."""
+    from slam_decomposition_tpu.coverage.coverage import (
+        gate_set_to_coverage,
+        monodromy_ranges_batch,
+    )
+    from slam_decomposition_tpu.parallel.mesh import sharded_ks
+
+    mesh = make_mesh(8, rp=2)
+    coverage = gate_set_to_coverage(gates.cg_sqiswap())
+    B = 16  # divisible by the 8 devices
+    targets = haar_sample(B, seed=21)
+    degenerate = np.stack(
+        [np.eye(4), gates.SWAP.to_numpy(), gates.CNOT.to_numpy(),
+         gates.SQISWAP.to_numpy()]
+    )
+    targets[:4] = degenerate
+    T = cplx.from_numpy(targets)
+    ks = sharded_ks(coverage, mesh)(T[0], T[1])
+    ks_ref = np.array([k for k, _ in monodromy_ranges_batch(coverage, targets)])
+    np.testing.assert_array_equal(ks, ks_ref)
