@@ -90,8 +90,44 @@ def run_curve():
     return rows
 
 
+def run_ks_curve():
+    """Same dp sweep for the ranges stage (sharded_ks): coords + halfspace
+    membership, zero collectives."""
+    from slam_decomposition_tpu.coverage.coverage import gate_set_to_coverage
+    from slam_decomposition_tpu.parallel.mesh import sharded_ks
+
+    coverage = gate_set_to_coverage(G.cg_sqiswap())
+    tgt = cplx.from_numpy(haar_sample(B, seed=3))
+    rows = []
+    n_avail = len(jax.devices())
+    for dp in (1, 2, 4, 8):
+        if dp > n_avail:
+            break
+        mesh = make_mesh(dp, rp=1)
+        ks_fn = sharded_ks(coverage, mesh)
+        ks = ks_fn(tgt[0], tgt[1])  # warm up (compile)
+        t0 = time.time()
+        n_rep = 3
+        for _ in range(n_rep):
+            ks = ks_fn(tgt[0], tgt[1])
+        dt = (time.time() - t0) / n_rep
+        rows.append(
+            {
+                "dp": dp,
+                "wall_s": round(dt, 4),
+                "per_device_batch": B // dp,
+                "k_histogram": {
+                    int(k): int(c) for k, c in zip(*np.unique(ks, return_counts=True))
+                },
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
 if __name__ == "__main__":
     rows = run_curve()
+    ks_rows = run_ks_curve()
     backend = jax.default_backend()
     lines = [
         "# dp-axis strong scaling (sharded solver)",
@@ -110,11 +146,24 @@ if __name__ == "__main__":
         )
     lines += [
         "",
+        "## Ranges stage (sharded_ks)",
+        "",
+        "| dp | wall (s) | per-device batch | k histogram |",
+        "|---|---|---|---|",
+    ]
+    for r in ks_rows:
+        lines.append(
+            f"| {r['dp']} | {r['wall_s']} | {r['per_device_batch']} | "
+            f"{r['k_histogram']} |"
+        )
+    lines += [
+        "",
         "On the virtual CPU mesh all devices share one host core, so"
-        " wall-clock stays ~flat: the table's evidence of scaling is the"
+        " wall-clock stays ~flat: the tables' evidence of scaling is the"
         " per-device shard shapes (work per chip drops 1/dp; XLA inserts"
-        " the restart-argmin gather over ICI on a real pod). The real-chip"
-        " single-device rate is the bench headline (BENCH_r*.json).",
+        " the restart-argmin gather over ICI on a real pod; the ranges"
+        " stage needs no collectives at all). The real-chip single-device"
+        " rate is the bench headline (BENCH_r*.json).",
     ]
     out = "/root/repo/docs/scaling_curve.md"
     with open(out, "w") as f:
