@@ -393,6 +393,22 @@ def gate_set_to_coverage(
     return out
 
 
+def circuit_to_polytope(ops) -> Polytope:
+    """Reachable-set polytope of a fixed 2Q gate sequence.
+
+    Folds each gate's exact monodromy polytope through the QLR deduction
+    (reference get_polytope_from_circuit, polytope_wrap.py:97-125 — there
+    driven off a qiskit DAG's two_qubit_ops; here ``ops`` is a sequence of
+    Gate objects or (4,4) unitaries, the IR-level equivalent). The result
+    answers "which 2Q classes can SOME choice of interleaved 1Q gates
+    reach with exactly this 2Q gate sequence?"
+    """
+    poly = IDENTITY_POLYTOPE
+    for g in ops:
+        poly = deduce_qlr_consequences(poly, gate_polytope(g))
+    return poly
+
+
 def gate_set_to_haar_expectation(*gates: Gate, **kw) -> float:
     """Coverage + Haar expectation in one call (polytope_wrap.py:129-133)."""
     from slam_decomposition_tpu.coverage.haar import expected_cost

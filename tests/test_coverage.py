@@ -242,3 +242,29 @@ def test_monodromy_ks_batch_on_tpu_multichunk_parity():
     ks_ref = np.array([k for k, _ in monodromy_ranges_batch(cov, targets)])
     np.testing.assert_array_equal(ks_np, ks_ref)
     np.testing.assert_array_equal(ks_pair, ks_ref)
+
+
+def test_circuit_to_polytope_fold():
+    """Reachable-set fold of a fixed gate sequence (reference
+    get_polytope_from_circuit, polytope_wrap.py:97-125): two sqiSwaps
+    reach CNOT but not SWAP; three reach SWAP."""
+    from fractions import Fraction
+
+    from slam_decomposition_tpu.coverage.coverage import (
+        circuit_to_polytope,
+        gate_monodromy_reps,
+    )
+    from slam_decomposition_tpu.models import gates
+
+    def contains_gate(poly, g):
+        tol = Fraction(1, 10**9)
+        return any(poly.contains(r, tol) for r in gate_monodromy_reps(g))
+
+    two = circuit_to_polytope([gates.SQISWAP, gates.SQISWAP])
+    three = circuit_to_polytope([gates.SQISWAP] * 3)
+    assert contains_gate(two, gates.CNOT)
+    assert not contains_gate(two, gates.SWAP)
+    assert contains_gate(three, gates.SWAP)
+    # raw unitary input works too
+    two_np = circuit_to_polytope([gates.SQISWAP.to_numpy()] * 2)
+    assert contains_gate(two_np, gates.CNOT)
