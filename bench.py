@@ -27,8 +27,8 @@ deliberately — it is an artifact of the remote-tunnel test rig, not of
 the pipeline (production targets are generated or held on-device); this
 exclusion is stated next to the headline number in README.md. B=100k is
 the default because at 10k the ~0.3 s timed region is dominated by fixed
-per-dispatch tunnel latency rather than device throughput (10k: ~32k
-targets/s; 100k: ~51k targets/s, same certification).
+per-dispatch tunnel latency rather than device throughput (10k: ~30k
+targets/s; 100k: ~70k targets/s, same certification).
 """
 
 import json
