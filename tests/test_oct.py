@@ -132,3 +132,22 @@ def test_amp_penalty_shrinks_pulses():
     pen = optimize_pulses(ev, n, amp_penalty=0.05, **kw)
     assert float(np.mean(pen.raw**2)) < float(np.mean(free.raw**2))
     assert bool(is_perfect_entangler(pen.U, tol=1e-6))  # still reaches PE
+
+
+def test_grape_li_reaches_cnot_class_one_application():
+    # cross-module consistency: GRAPE on J_T_LI drives ONE application of
+    # the iSwap-strength coupler into the CNOT local class — the same
+    # physics models/trajectory.improved_cx solves exactly by LM + KAK
+    # locals (there to 1e-14; Adam-only plateaus ~1e-6 here, which is
+    # plenty to confirm class reachability)
+    from slam_decomposition_tpu.ops import weyl
+
+    n = 16
+    ev = make_smush_eval(gc=np.pi / 2, gg=0.0, n_slices=n)
+    res = optimize_pulses(
+        ev, n, functional="li", target=_pair(gates.CNOT),
+        restarts=8, iters=400, lr=0.15, seed=2,
+    )
+    assert float(res.value) < 1e-3
+    c = np.asarray(weyl.c1c2c3(res.U))
+    np.testing.assert_allclose(c, [0.5, 0.0, 0.0], atol=0.05)
