@@ -509,7 +509,7 @@ def make_ks_assign_fn(coverage):
     """
     import jax.numpy as jnp
 
-    from slam_decomposition_tpu.ops import weyl
+    from slam_decomposition_tpu.ops import cplx, weyl
 
     # host-side layer tables (tiny; uploaded once per coverage)
     layers = sorted([c for c in coverage if c.cost > 0], key=lambda c: c.cost)
@@ -532,6 +532,15 @@ def make_ks_assign_fn(coverage):
         onehot[s_i, li] = 1.0
     ks_of_layer = np.array([len(cp.operations) for cp in layers])
 
+    # real-row masks: padding rows (ineq [1,0,0,0] = "always true", eq
+    # all-zero = "trivially satisfied") must not feed the f32 safety band —
+    # a zero eq row has margin exactly 0 and would flag EVERY target
+    in_mask = np.zeros(A_in.shape[:2], dtype=bool)
+    eq_mask = np.zeros(A_eq.shape[:2], dtype=bool)
+    for s_i, (li, ineq, eq) in enumerate(subs):
+        in_mask[s_i, : len(ineq)] = True
+        eq_mask[s_i, : len(eq)] = True
+
     key = (
         A_in.shape,
         A_eq.shape,
@@ -542,10 +551,10 @@ def make_ks_assign_fn(coverage):
     Ain_d = jnp.asarray(A_in)
     Aeq_d = jnp.asarray(A_eq)
     onehot_d = jnp.asarray(onehot)
+    in_mask_d = jnp.asarray(in_mask)
+    eq_mask_d = jnp.asarray(eq_mask)
 
-    def assign_fn(U0, U1):
-        reps = weyl.monodromy_coords_mixed((U0, U1))[..., :3]  # (n,2,3)
-        tol = 1e-8
+    def _assign_from_reps(reps, tol):
         vals = Ain_d[:, :, 0][None, None] + jnp.einsum(
             "nrk,sjk->nrsj", reps, Ain_d[:, :, 1:]
         )
@@ -559,8 +568,46 @@ def make_ks_assign_fn(coverage):
         assigned = member.any(axis=1)
         is_id = (jnp.abs(reps) < 1e-9).all(-1).any(-1)
         idx = jnp.where(is_id, -1, jnp.where(assigned, first, -2))
-        return idx.astype(jnp.int32)
+        return idx.astype(jnp.int32), vals, evals
 
+    def assign_fn(U0, U1):
+        reps = weyl.monodromy_coords_mixed((U0, U1))[..., :3]  # (n,2,3)
+        return _assign_from_reps(reps, 1e-8)[0]
+
+    # f32 fast path with CERTIFIED escalation: coordinates from an all-f32
+    # eigensolve (measured error <= 1e-7 on 16k Haar + the degenerate zoo)
+    # plus a face-margin safety band 1000x that error. A target is "safe"
+    # when every halfspace/equality margin and the identity test are
+    # decided by more than the band — then the f32 verdict PROVABLY equals
+    # the mixed-precision one. Unsafe targets (boundary classes, ~0.3% of
+    # Haar) re-run through assign_fn; f64 emulation (~140x per op) was 80%
+    # of the ranges cost (0.397 s -> 0.078 s per 100k, measured).
+    BAND = 1e-4
+
+    def assign_fn_f32(U0, U1):
+        U32 = (U0.astype(jnp.float32), U1.astype(jnp.float32))
+        Us, _ = weyl.su4_normalize(U32)
+        M = weyl.to_magic(Us)
+        from slam_decomposition_tpu.ops.eig import joint_diag
+
+        m = cplx.matmul(cplx.transpose(M), M)
+        x, y, _ = joint_diag(m[0], m[1])
+        th = jnp.arctan2(y, x).astype(jnp.float64)
+        reps = weyl._phases_to_reps(th)[..., :3]
+        idx, vals, evals = _assign_from_reps(reps, 1e-8)
+        # vals: (n, rep, S, row); masks: (S, row)
+        unsafe = ((jnp.abs(vals) < BAND) & in_mask_d[None, None]).any(
+            (1, 2, 3)
+        )
+        unsafe |= ((jnp.abs(evals) < BAND) & eq_mask_d[None, None]).any(
+            (1, 2, 3)
+        )
+        # identity test needs |reps| < 1e-9 — undecidable in f32 when a
+        # representative is within the band of the origin
+        unsafe |= (jnp.abs(reps) < BAND).all(-1).any(-1)
+        return idx, unsafe
+
+    assign_fn.f32 = assign_fn_f32
     return key, assign_fn, ks_of_layer
 
 
@@ -573,6 +620,12 @@ def monodromy_ks_batch(coverage, targets) -> np.ndarray:
     the pair form avoids re-uploading targets the solver already holds
     (the host<->device tunnel is the bottleneck at ~18 MB/s, not compute).
     Non-TPU backends fall back to :func:`monodromy_ranges_batch`.
+
+    Two-tier precision: every chunk first runs the all-f32 eigensolve with
+    a certified face-margin safety band; only band-unsafe targets (~0.3%
+    of Haar — boundary/degenerate classes) re-run through the
+    mixed-precision path, so results are exactly the mixed-path answers at
+    a fraction of the f64-emulation cost (see make_ks_assign_fn).
     """
     import jax
     import jax.numpy as jnp
@@ -593,8 +646,8 @@ def monodromy_ks_batch(coverage, targets) -> np.ndarray:
 
     key, assign_fn, ks_of_layer = make_ks_assign_fn(coverage)
     if key not in _KS_JIT_CACHE:
-        _KS_JIT_CACHE[key] = jax.jit(assign_fn)
-    chunk_fn = _KS_JIT_CACHE[key]
+        _KS_JIT_CACHE[key] = (jax.jit(assign_fn.f32), jax.jit(assign_fn))
+    fn32, fn_mixed = _KS_JIT_CACHE[key]
 
     if isinstance(targets, np.ndarray):
         targets = cplx.from_numpy(targets)
@@ -602,26 +655,50 @@ def monodromy_ks_batch(coverage, targets) -> np.ndarray:
     n = T0.shape[0]
     CHUNK = 8192
     SMALL = 256
+
+    def pad_pair(p0, p1, size):
+        m = p0.shape[0]
+        if m < size:
+            p0 = jnp.concatenate([p0, jnp.broadcast_to(p0[:1], (size - m, 4, 4))])
+            p1 = jnp.concatenate([p1, jnp.broadcast_to(p1[:1], (size - m, 4, 4))])
+        return p0, p1
+
+    # tier 1: all chunks through the f32 fast path (certified safety flag)
     futs = []
     s = 0
     while s < n:
         size = SMALL if n - s <= SMALL else CHUNK
-        part0, part1 = T0[s : s + size], T1[s : s + size]
-        m = part0.shape[0]
-        if m < size:
-            part0 = jnp.concatenate(
-                [part0, jnp.broadcast_to(part0[:1], (size - m, 4, 4))]
-            )
-            part1 = jnp.concatenate(
-                [part1, jnp.broadcast_to(part1[:1], (size - m, 4, 4))]
-            )
-        futs.append((chunk_fn(part0, part1), m))
+        part0, part1 = pad_pair(T0[s : s + size], T1[s : s + size], size)
+        m = min(size, n - s)
+        futs.append((fn32(part0, part1), m))
         s += m
-    # one parallel transfer for every chunk's int32 results (serial
-    # np.asarray pays a ~26 ms tunnel round trip per chunk; this was the
-    # dominant cost of the whole ranges step at B=100k: 0.33 of 0.46 s)
+    # one parallel transfer for every chunk's results (serial np.asarray
+    # pays a ~26 ms tunnel round trip per chunk; this was the dominant
+    # cost of the whole ranges step at B=100k: 0.33 of 0.46 s)
     got = jax.device_get([f for f, _ in futs])
-    idx = np.concatenate([g[:m] for g, (_, m) in zip(got, futs)])
+    idx = np.concatenate([g[0][:m] for g, (_, m) in zip(got, futs)])
+    unsafe = np.concatenate([g[1][:m] for g, (_, m) in zip(got, futs)])
+
+    # tier 2: escalate band-unsafe targets (boundary classes, ~0.3% of
+    # Haar) to the mixed-precision path — f32 + escalation is EXACTLY the
+    # mixed-path answer by the band argument in make_ks_assign_fn
+    esc = np.where(unsafe)[0]
+    if len(esc):
+        e_futs = []
+        for s in range(0, len(esc), CHUNK):
+            part = esc[s : s + CHUNK]
+            m = len(part)
+            size = SMALL if m <= SMALL else CHUNK
+            ii = jnp.asarray(
+                np.concatenate([part, np.repeat(part[:1], size - m)]),
+                dtype=jnp.int32,
+            )
+            p0 = jnp.take(T0, ii, axis=0)
+            p1 = jnp.take(T1, ii, axis=0)
+            e_futs.append((fn_mixed(p0, p1), m))
+        e_got = jax.device_get([f for f, _ in e_futs])
+        idx[esc] = np.concatenate([g[:m] for g, (_, m) in zip(e_got, e_futs)])
+
     if (idx == -2).any():
         raise ValueError("no coverage polytope contains some targets")
     ks = np.where(idx < 0, 0, ks_of_layer[np.maximum(idx, 0)])
