@@ -350,4 +350,46 @@ def make_solver(
 
     solve.with_history = solve_with_history
     solve.polish = polish
+    solve.certify = lambda xs, tgt: jax.vmap(cost64)(xs, tgt)
+    return solve
+
+
+def make_analytic_solver(
+    eval_fn: Callable,
+    n_params: int,
+    k: int,
+    chain_gates=None,
+    lm_iters: int = 6,
+    adam_backend: str = "auto",
+):
+    """Analytic-warm-start solver for the sqrt(iSwap) template: one batched
+    KAK synthesis (ops/kak_batch.py — the reference's weyl_decompose.py
+    route, branch-free on device) seeds every lane inside the df64 polish
+    kernel's convergence basin, replacing the Adam multi-restart + f32 LM
+    ranking phases entirely.
+
+    Returns solve(tgt_pair) -> (x (B, n) f64, certified losses (B,)).
+    Targets must be in the k-application class (monodromy_ks_batch); the
+    rare out-of-basin lane is the caller's rescue problem (bench.py re-runs
+    failures through the variational make_solver at k=3)."""
+    from slam_decomposition_tpu.ops.kak_batch import make_analytic_init
+
+    base = make_solver(
+        eval_fn,
+        n_params,
+        lm_iters=lm_iters,
+        chain_gates=chain_gates,
+        adam_backend=adam_backend,
+    )
+    init = make_analytic_init(k)
+
+    def solve(tgt):
+        t32 = (tgt[0].astype(jnp.float32), tgt[1].astype(jnp.float32))
+        x = init(t32[0], t32[1]).astype(tgt[0].dtype)
+        x = base.polish(x, tgt)
+        return x, base.certify(x, tgt)
+
+    solve.init_only = lambda tgt: init(
+        tgt[0].astype(jnp.float32), tgt[1].astype(jnp.float32)
+    )
     return solve
