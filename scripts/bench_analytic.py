@@ -38,14 +38,21 @@ RESTARTS = 4
 THRESH = 1e-10
 
 
+def _sync(out):
+    # hard sync: force a (tiny) download of the last leaf. On the axon
+    # relay, block_until_ready was observed returning early for one
+    # executable's outputs (k=3 analytic reported 0.1 ms for a measured
+    # 3.3 s program); a host transfer cannot lie.
+    np.asarray(jax.tree_util.tree_leaves(out)[-1])
+    return out
+
+
 def timed(fn, reps=3):
-    out = fn()
-    jax.block_until_ready(out)  # warm
+    out = _sync(fn())  # warm
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        out = fn()
-        jax.block_until_ready(out)
+        out = _sync(fn())
         ts.append(time.time() - t0)
     return float(np.median(ts)), out
 

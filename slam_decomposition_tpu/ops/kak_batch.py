@@ -259,17 +259,48 @@ def _kak_state(U, dtype):
 # ----------------------------------------------- interleaving rotations
 
 
-def _makhlin_c(U, dtype):
-    """(Re g1g2, Im g1g2, g3) from traces (kak.py:250-259)."""
+def _makhlin_c(U, dtype, assume_su: bool = False):
+    """(Re g1g2, Im g1g2, g3) from traces (kak.py:250-259).
+
+    ``assume_su``: skip the det-phase normalization for matrices known to
+    have det == 1 analytically (CAN(t) has det exp(i*sum(V_ROWS @ t)) = 1
+    since V_ROWS columns sum to 0; Rz/Rx/their krons are det-1; so every
+    matrix in the interleave residual qualifies). This matters on TPU:
+    jnp.linalg.det lowers to a batched LU custom call whose JVP (LU +
+    triangular solves) dominated the analytic-init runtime — 13.0 s of the
+    13.3 s/10k was the GN polish differentiating through det."""
     B, _, _ = _consts(dtype)
-    det = jnp.linalg.det(U)
-    Us = U * jnp.exp(-1j * jnp.angle(det) / 4) / jnp.abs(det) ** 0.25
+    Us = U
+    if not assume_su:
+        det = jnp.linalg.det(U)
+        Us = U * jnp.exp(-1j * jnp.angle(det) / 4) / jnp.abs(det) ** 0.25
     M = B.conj().T @ Us @ B
     m = M.T @ M
     tr = jnp.trace(m)
     g12 = tr * tr / 16.0
     g3 = (tr * tr - jnp.trace(m @ m)) / 4.0
     return jnp.stack([g12.real, g12.imag, g3.real])
+
+
+def _solve3(A, b):
+    """Closed-form 3x3 solve via the adjugate (Cramer), branch-free.
+
+    jnp.linalg.solve's batched LU is a sequential pivoting custom call on
+    TPU — hundreds of them inside the GN polish loops were the analytic
+    init's bottleneck. The normal equations here are damped SPD (lam >=
+    1e-6 on the diagonal), so the adjugate form is well-conditioned in f32."""
+    a, bb, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    co00 = e * i - f * h
+    co01 = f * g - d * i
+    co02 = d * h - e * g
+    det = a * co00 + bb * co01 + c * co02
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    x0 = co00 * b[0] + (c * h - bb * i) * b[1] + (bb * f - c * e) * b[2]
+    x1 = co01 * b[0] + (a * i - c * g) * b[1] + (c * d - a * f) * b[2]
+    x2 = co02 * b[0] + (bb * g - a * h) * b[1] + (a * e - bb * d) * b[2]
+    return jnp.stack([x0, x1, x2]) / det
 
 
 def _rz_c(t, c):
@@ -390,14 +421,14 @@ def _interleave_angles(t, dtype):
 
     cd = _cdtype(dtype)
     SQ = sqiswap_c(dtype)
-    target = _makhlin_c(can_matrix_c(t.astype(dtype), dtype), dtype)
+    target = _makhlin_c(can_matrix_c(t.astype(dtype), dtype), dtype, assume_su=True)
 
     def resid_vec(abg):
         aa, bb, gg = abg[0], abg[1], abg[2]
         C1 = _rz_c(gg, cd) @ _rx_c(aa, cd) @ _rz_c(gg, cd)
         C2 = _rx_c(bb, cd)
         V = SQ @ jnp.kron(C1, C2) @ SQ
-        return _makhlin_c(V, dtype) - target
+        return _makhlin_c(V, dtype, assume_su=True) - target
 
     def residual(abg):
         return jnp.max(jnp.abs(resid_vec(abg)))
@@ -423,7 +454,7 @@ def _interleave_angles(t, dtype):
             eye3 = jnp.eye(3, dtype=dtype)
 
             def try_damp(lm):
-                d = jnp.linalg.solve(JtJ + lm * eye3, -g)
+                d = _solve3(JtJ + lm * eye3, -g)
                 c = p + d
                 return c, residual(c)
 
