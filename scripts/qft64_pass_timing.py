@@ -73,3 +73,22 @@ out = optimized_sqiswap_sub(qc, duration_1q=0.25)
 t_pass = time.time() - t0
 print(f"optimized_sqiswap_sub full pass: {t_pass:.2f}s "
       f"({len(out.ops)} ops out)")
+
+# basic manager: host per-block KAK loop vs one batched device synthesis
+# call per k-class (transpile/batch_synth.py)
+from slam_decomposition_tpu.transpile.passes import pass_manager_basic
+
+t0 = time.time()
+host_out, host_m = pass_manager_basic(qc, duration_1q=0.25, batched=False)
+t_host = time.time() - t0
+print(f"pass_manager_basic host loop: {t_host:.2f}s "
+      f"(duration {host_m['duration']:.2f})")
+t0 = time.time()
+dev_out, dev_m = pass_manager_basic(qc, duration_1q=0.25, batched=True)
+t_dev_cold = time.time() - t0
+t0 = time.time()
+dev_out, dev_m = pass_manager_basic(qc, duration_1q=0.25, batched=True)
+t_dev = time.time() - t0
+print(f"pass_manager_basic batched: cold {t_dev_cold:.2f}s warm {t_dev:.2f}s "
+      f"(duration {dev_m['duration']:.2f})")
+assert dev_m["duration"] == host_m["duration"], (dev_m, host_m)

@@ -1,0 +1,148 @@
+"""Batched device-resident sqiswap synthesis for the transpile layer.
+
+`sqiswap_decompose` (transpile/kak.py, reference counterpart
+weyl_decompose.py:343-387) is exact but host-serial: one numpy KAK +
+interleave solve per 2Q block. At transpile scale (a consolidated QFT-64
+has ~2000 blocks) that is seconds of single-thread host work. This module
+runs the same synthesis as ONE batched device program per k-class
+(ops/kak_batch.make_analytic_init seeding the df64 polish kernel —
+the route scripts/bench_analytic.py timed at ~0.33 s per 10k blocks),
+then emits the identical step format on the host. Every emitted block is
+re-certified on the host against the 1e-10 trace-infidelity bar that
+`sqiswap_decompose` itself enforces (kak.py:555-558); any lane the device
+path cannot certify (or any k<=1 block, where synthesis is trivial) falls
+back to the exact host routine, so the result contract is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from slam_decomposition_tpu.transpile.kak import (
+    sqiswap_decompose,
+    steps_to_matrix,
+)
+
+# ONE compiled shape per k-class: every batch is padded to _CHUNK
+# multiples. Chunk-shape proliferation matters more than padding waste
+# here — on the remote-TPU toolchain each new executable shape costs
+# minutes of AOT compile (persistent-cached thereafter), while a padded
+# 256-lane chunk runs in ~10 ms.
+_CHUNK = 256
+_SOLVERS: Dict[int, tuple] = {}
+
+
+def _u3_np(theta: float, phi: float, lam: float) -> np.ndarray:
+    """qiskit-convention U gate (ops/su2.py:10) as a numpy 2x2."""
+    ct, st = np.cos(theta / 2.0), np.sin(theta / 2.0)
+    return np.array(
+        [
+            [ct, -np.exp(1j * lam) * st],
+            [np.exp(1j * phi) * st, np.exp(1j * (phi + lam)) * ct],
+        ]
+    )
+
+
+def _solver(k: int):
+    """(jitted analytic solve, ansatz) for the k-application template."""
+    if k not in _SOLVERS:
+        import jax
+
+        from slam_decomposition_tpu.models import gates
+        from slam_decomposition_tpu.models.templates import (
+            build_ansatz,
+            cycle_gates,
+        )
+        from slam_decomposition_tpu.opt.gauss_newton import make_analytic_solver
+
+        a = build_ansatz(cycle_gates([gates.SQISWAP], k))
+        solve = jax.jit(
+            make_analytic_solver(a.eval_fn, a.n_params, k, chain_gates=a.chain_gates)
+        )
+        _SOLVERS[k] = (solve, a)
+    return _SOLVERS[k]
+
+
+def _params_to_steps(x: np.ndarray, k: int, U: np.ndarray, atol: float):
+    """Flat ansatz params (6*(k+1),) -> sqiswap_decompose step list, or
+    None when the emitted steps miss the trace-infidelity bar."""
+    steps: List = []
+    for layer in range(k + 1):
+        p = x[6 * layer : 6 * (layer + 1)]
+        steps.append(("1q", (_u3_np(*p[0:3]), _u3_np(*p[3:6]))))
+        if layer < k:
+            steps.append(("sqiswap", None))
+    V = steps_to_matrix(steps)
+    tr = np.trace(V.conj().T @ U)
+    if 1.0 - abs(tr) / 4.0 > atol:
+        return None
+    # fold the block's global phase in, exactly like the host path's
+    # ("phase", ...) bookkeeping (kak.py:519,544): steps_to_matrix(steps)
+    # then reproduces U including phase
+    return [("phase", float(np.angle(tr)))] + steps
+
+
+def sqiswap_decompose_batch(
+    Us: np.ndarray,
+    atol: float = 1e-10,
+    stats: Optional[dict] = None,
+) -> List[Tuple[list, int]]:
+    """Batched `sqiswap_decompose` over a (B, 4, 4) block array.
+
+    Returns a list of (steps, n) in block order, same contract as the
+    host routine (steps reproduce each block to trace infidelity <= atol,
+    phase included). k in {2, 3} blocks are synthesized in one device
+    call per k-class; k <= 1 blocks and uncertified lanes use the exact
+    host path. ``stats`` (if given) records {"device": n_device_blocks,
+    "fallback": n_host_fallbacks}.
+    """
+    import jax
+
+    from slam_decomposition_tpu.ops import cplx
+    from slam_decomposition_tpu.opt.samplers import sqiswap_count_batch
+
+    Us = np.asarray(Us, dtype=complex)
+    B = len(Us)
+    counts = np.atleast_1d(sqiswap_count_batch(Us))
+    results: List = [None] * B
+    n_device = n_fallback = 0
+
+    for i in np.where(counts <= 1)[0]:
+        results[i] = sqiswap_decompose(Us[i])
+
+    for k in (2, 3):
+        idx = np.where(counts == k)[0]
+        if len(idx) == 0:
+            continue
+        solve, _ = _solver(k)
+        # launch every chunk, then download all results in one transfer
+        # (serial per-chunk syncs cost a tunnel round trip each — same
+        # finding as bench.py's collect_buckets)
+        futs = []
+        for s in range(0, len(idx), _CHUNK):
+            part = idx[s : s + _CHUNK]
+            if len(part) < _CHUNK:
+                part = np.concatenate(
+                    [part, np.repeat(part[:1], _CHUNK - len(part))]
+                )
+            futs.append(solve(cplx.from_numpy(Us[part])))
+        got = jax.device_get(futs)
+        xs = np.concatenate([x for x, _ in got])[: len(idx)]
+        losses = np.concatenate([l for _, l in got])[: len(idx)]
+        for j, i in enumerate(idx):
+            steps = None
+            if losses[j] <= atol:
+                steps = _params_to_steps(xs[j], k, Us[i], atol)
+            if steps is None:
+                results[i] = sqiswap_decompose(Us[i])
+                n_fallback += 1
+            else:
+                results[i] = (steps, k)
+                n_device += 1
+
+    if stats is not None:
+        stats["device"] = n_device
+        stats["fallback"] = n_fallback
+    return results

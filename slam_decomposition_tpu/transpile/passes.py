@@ -774,10 +774,21 @@ def optimized_sqiswap_sub(
 
 
 def pass_manager_basic(
-    circ: Circuit, gate: str = "sqiswap", duration_1q: float = 0.0
+    circ: Circuit,
+    gate: str = "sqiswap",
+    duration_1q: float = 0.0,
+    batched: Optional[bool] = None,
 ) -> Tuple[Circuit, Dict]:
     """Analytic decomposition baseline (pass_manager_basic,
-    speed_limit_pass.py:531-551)."""
+    speed_limit_pass.py:531-551).
+
+    ``batched`` selects the device-resident sqiswap synthesis
+    (transpile/batch_synth.py: all k-class blocks in one analytic-init +
+    polish call per k, host fallback for anything uncertified). None =
+    auto: batch when the circuit is large enough to amortize dispatch and
+    an accelerator backend is available; the host path stays the default
+    on CPU (its per-block numpy loop is faster than compiling the batch
+    executables there)."""
     from slam_decomposition_tpu.transpile.kak import (
         sqiswap_decompose,
         steps_to_circuit,
@@ -786,10 +797,30 @@ def pass_manager_basic(
 
     circ = unroll_3q_or_more(circ)
     blocks = consolidate_2q_blocks(circ)
+    if batched is None:
+        import jax
+
+        batched = (
+            gate == "sqiswap"
+            and len(blocks) >= 64
+            and jax.default_backend() != "cpu"
+        )
+    step_lists: Dict[int, list] = {}
+    if gate == "sqiswap" and batched and blocks:
+        from slam_decomposition_tpu.transpile.batch_synth import (
+            sqiswap_decompose_batch,
+        )
+
+        Us = np.stack([b.unitary for b in blocks])
+        step_lists = {
+            i: steps for i, (steps, _) in enumerate(sqiswap_decompose_batch(Us))
+        }
     subs: Dict[int, Circuit] = {}
     for i, b in enumerate(blocks):
         if gate == "sqiswap":
-            steps, _ = sqiswap_decompose(b.unitary)
+            steps = step_lists.get(i)
+            if steps is None:
+                steps, _ = sqiswap_decompose(b.unitary)
             sub = Circuit(2)
             for kind, payload in steps:
                 if kind == "sqiswap":
