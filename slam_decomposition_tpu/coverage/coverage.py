@@ -493,6 +493,14 @@ def monodromy_range_from_target(
 
 
 _KS_JIT_CACHE: dict = {}
+# memo for make_ks_assign_fn keyed by coverage object identity: the hot
+# paths (monodromy_ks_batch, sharded_ks) call it per invocation, and the
+# host table build + the 5 host->device uploads are pure waste on a
+# repeat call with the same coverage list (the jits close over the first
+# call's device arrays anyway). Identity misses (an equal-content
+# coverage rebuilt from pickle) just rebuild — _KS_JIT_CACHE is content
+# keyed, so compiled kernels are still shared.
+_ASSIGN_FN_MEMO: dict = {}
 
 
 def make_ks_assign_fn(coverage):
@@ -509,7 +517,11 @@ def make_ks_assign_fn(coverage):
     """
     import jax.numpy as jnp
 
-    from slam_decomposition_tpu.ops import cplx, weyl
+    from slam_decomposition_tpu.ops import weyl
+
+    memo_key = tuple(id(c) for c in coverage)
+    if memo_key in _ASSIGN_FN_MEMO:
+        return _ASSIGN_FN_MEMO[memo_key]
 
     # host-side layer tables (tiny; uploaded once per coverage)
     layers = sorted([c for c in coverage if c.cost > 0], key=lambda c: c.cost)
@@ -586,13 +598,7 @@ def make_ks_assign_fn(coverage):
 
     def assign_fn_f32(U0, U1):
         U32 = (U0.astype(jnp.float32), U1.astype(jnp.float32))
-        Us, _ = weyl.su4_normalize(U32)
-        M = weyl.to_magic(Us)
-        from slam_decomposition_tpu.ops.eig import joint_diag
-
-        m = cplx.matmul(cplx.transpose(M), M)
-        x, y, _ = joint_diag(m[0], m[1])
-        th = jnp.arctan2(y, x).astype(jnp.float64)
+        th = weyl.gamma_eigenphases(U32).astype(jnp.float64)
         reps = weyl._phases_to_reps(th)[..., :3]
         idx, vals, evals = _assign_from_reps(reps, 1e-8)
         # vals: (n, rep, S, row); masks: (S, row)
@@ -608,6 +614,7 @@ def make_ks_assign_fn(coverage):
         return idx, unsafe
 
     assign_fn.f32 = assign_fn_f32
+    _ASSIGN_FN_MEMO[memo_key] = (key, assign_fn, ks_of_layer)
     return key, assign_fn, ks_of_layer
 
 

@@ -220,11 +220,16 @@ def optimize_pulses(
             p_new = p - step_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
             return (p_new, m, v), (val, p)
 
-        _, (hist, p_hist) = jax.lax.scan(
+        (p_fin, _, _), (hist, p_hist) = jax.lax.scan(
             step,
             (p0, jnp.zeros_like(p0), jnp.zeros_like(p0)),
             jnp.arange(iters, dtype=jnp.float64),
         )
+        # the scan logs pre-update points, so the iters-th Adam update
+        # lives only in the carry — append it (one extra forward) so the
+        # final step is selectable; hist[i] still pairs with p_hist[i]
+        hist = jnp.concatenate([hist, fn(eval_fn(p_fin))[None]])
+        p_hist = jnp.concatenate([p_hist, p_fin[None]])
         return hist, p_hist
 
     @jax.jit
@@ -256,8 +261,9 @@ def optimize_pulses(
                 any_pe, jnp.argmin(score), jnp.argmin(jnp.abs(hist))
             )
         else:
-            idx = jnp.argmin(hist[:, -1]) * iters + (iters - 1)
-        r, i = idx // iters, idx % iters
+            L = iters + 1
+            idx = jnp.argmin(hist[:, -1]) * L + (L - 1)
+        r, i = idx // (iters + 1), idx % (iters + 1)
         return p_hist[r, i], hist[r, i], hist[r]
 
     raw, value, history = solve(jax.random.PRNGKey(seed))

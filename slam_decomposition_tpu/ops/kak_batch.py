@@ -38,6 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from slam_decomposition_tpu.ops.eig import joint_diag
 from slam_decomposition_tpu.ops.weyl import MAGIC_IM, MAGIC_RE
 
 PI = np.pi
@@ -55,9 +56,6 @@ _PAULI_NP = {
     1: np.array([[0, -1j], [1j, 0]], dtype=complex),
     2: np.diag([1.0 + 0j, -1.0]),
 }
-
-_JACOBI_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
-
 
 def _cdtype(dtype):
     return jnp.complex64 if dtype == jnp.float32 else jnp.complex128
@@ -83,34 +81,6 @@ def sqiswap_c(dtype):
 
 
 # --------------------------------------------------------------- KAK core
-
-
-def _jacobi_pair(X, Y, sweeps: int = 12):
-    """Jointly diagonalize real symmetric (4,4) X, Y (Cardoso sweeps,
-    kak.py:58-81, fixed iteration count). Returns (diag X, diag Y, V) with
-    X ~ V diag V^T."""
-    n = 4
-    eye = jnp.eye(n, dtype=X.dtype)
-
-    def one_sweep(_, carry):
-        X, Y, V = carry
-        for p, q in _JACOBI_PAIRS:
-            ux, vx = X[p, q], 0.5 * (X[p, p] - X[q, q])
-            uy, vy = Y[p, q], 0.5 * (Y[p, p] - Y[q, q])
-            num = 2.0 * (ux * vx + uy * vy)
-            den = vx * vx + vy * vy - ux * ux - uy * uy
-            th = 0.25 * jnp.arctan2(num, den)
-            c, s = jnp.cos(th), jnp.sin(th)
-            G = (
-                eye.at[p, p].set(c).at[p, q].set(s).at[q, p].set(-s).at[q, q].set(c)
-            )
-            X = G @ X @ G.T
-            Y = G @ Y @ G.T
-            V = V @ G.T
-        return X, Y, V
-
-    X, Y, V = jax.lax.fori_loop(0, sweeps, one_sweep, (X, Y, eye))
-    return jnp.diagonal(X), jnp.diagonal(Y), V
 
 
 def _split_product(K):
@@ -240,7 +210,9 @@ def _kak_state(U, dtype):
     Us = U * jnp.exp(-1j * jnp.angle(det) / 4) / jnp.abs(det) ** 0.25
     M = B.conj().T @ Us @ B
     m = M.T @ M
-    x, y, Pv = _jacobi_pair(m.real.astype(dtype), m.imag.astype(dtype))
+    # Cardoso joint Jacobi (kak.py:58-81 role), shared with the coords
+    # path — ops/eig.joint_diag is the one maintained pivot iteration
+    x, y, Pv = joint_diag(m.real.astype(dtype), m.imag.astype(dtype))
     s = jnp.sign(jnp.linalg.det(Pv))
     Pv = Pv.at[:, -1].multiply(s)
     theta = jnp.arctan2(y, x)

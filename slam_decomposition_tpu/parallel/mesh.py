@@ -102,14 +102,31 @@ def sharded_ks(coverage, mesh: Mesh):
 
     _, assign_fn, ks_of_layer = make_ks_assign_fn(coverage)
     shard = NamedSharding(mesh, P(("dp", "rp"), None, None))
-    fn = jax.jit(
-        assign_fn,
-        in_shardings=(shard, shard),
-        out_shardings=NamedSharding(mesh, P(("dp", "rp"))),
+    out = NamedSharding(mesh, P(("dp", "rp")))
+    # two-tier precision, same as monodromy_ks_batch: the all-f32 tier
+    # (5x cheaper per target than the f64-emulated eigensolve) runs
+    # sharded over the whole mesh; band-unsafe targets (~0.3% of Haar)
+    # escalate to the mixed-precision kernel on one device — the
+    # escalation set is far too small to amortize a collective gather
+    fn32 = jax.jit(
+        assign_fn.f32, in_shardings=(shard, shard), out_shardings=(out, out)
     )
+    fn_mixed = jax.jit(assign_fn)
+    ESC_PAD = 256  # fixed escalation shape: one compile, reused
 
     def ks_fn(T0, T1) -> np.ndarray:
-        idx = np.asarray(fn(T0, T1))
+        d_idx, d_unsafe = jax.device_get(fn32(T0, T1))
+        idx = np.array(d_idx)  # writable copy: escalation writes in place
+        unsafe = np.asarray(d_unsafe)
+        esc = np.where(unsafe)[0]
+        if len(esc):
+            h0, h1 = np.asarray(T0), np.asarray(T1)
+            for s in range(0, len(esc), ESC_PAD):
+                part = esc[s : s + ESC_PAD]
+                sel = np.concatenate(
+                    [part, np.repeat(part[:1], ESC_PAD - len(part))]
+                )
+                idx[part] = np.asarray(fn_mixed(h0[sel], h1[sel]))[: len(part)]
         if (idx == -2).any():
             raise ValueError("no coverage polytope contains some targets")
         return np.where(idx < 0, 0, ks_of_layer[np.maximum(idx, 0)])

@@ -96,7 +96,8 @@ def sqiswap_decompose_batch(
     phase included). k in {2, 3} blocks are synthesized in one device
     call per k-class; k <= 1 blocks and uncertified lanes use the exact
     host path. ``stats`` (if given) records {"device": n_device_blocks,
-    "fallback": n_host_fallbacks}.
+    "fallback": n_host_fallbacks, "trivial": n_k_le_1_blocks}; the three
+    sum to the batch size.
     """
     import jax
 
@@ -109,7 +110,8 @@ def sqiswap_decompose_batch(
     results: List = [None] * B
     n_device = n_fallback = 0
 
-    for i in np.where(counts <= 1)[0]:
+    trivial_idx = np.where(counts <= 1)[0]
+    for i in trivial_idx:
         results[i] = sqiswap_decompose(Us[i])
 
     for k in (2, 3):
@@ -145,4 +147,5 @@ def sqiswap_decompose_batch(
     if stats is not None:
         stats["device"] = n_device
         stats["fallback"] = n_fallback
+        stats["trivial"] = len(trivial_idx)
     return results

@@ -49,6 +49,9 @@ def test_batch_matches_host_contract():
     # fallback is allowed only for the occasional uncertified lane
     n_k2p = int((counts >= 2).sum())
     assert stats["device"] >= n_k2p - 2, stats
+    # counters partition the batch: trivial (k<=1) + device + fallback
+    assert stats["trivial"] == int((counts <= 1).sum())
+    assert stats["device"] + stats["fallback"] + stats["trivial"] == len(U)
 
 
 def test_pass_manager_basic_batched_matches_host():

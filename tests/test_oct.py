@@ -82,7 +82,8 @@ def test_grape_reaches_perfect_entangler():
     assert bool(is_perfect_entangler(res.U, tol=1e-6))
     assert float(res.value) <= 1e-3  # F_PE at the selected iterate
     # history records the raw per-iteration F_PE of the winning restart
-    assert res.history.shape == (200,)
+    # (iters pre-update points + the appended final iterate)
+    assert res.history.shape == (201,)
     # structural Krotov constraint: the update-shape window multiplies the
     # raw parameters, so boundary slices are always suppressed
     np.testing.assert_allclose(
@@ -114,6 +115,25 @@ def test_grape_hits_reachable_gate_target():
     assert float(res.value) < 1e-4
     # optimization descended
     assert res.history[-1] < res.history[0]
+
+
+def test_final_adam_update_is_selectable():
+    # regression: the scan logs pre-update points, so the last Adam step
+    # used to be computed in the carry and thrown away — iters=1 returned
+    # the untouched random init. Now history carries iters+1 points and
+    # the selected iterate can be the post-final-update one.
+    n = 8
+    ev = make_smush_eval(gc=np.pi / 4, gg=0.0, n_slices=n)
+    target = ev(jnp.zeros((2, n)))
+    res = optimize_pulses(
+        ev, n, functional="square", target=target,
+        restarts=2, iters=1, lr=0.1, seed=0,
+    )
+    assert res.history.shape == (2,)
+    # the single Adam update was applied (init is random, not a minimum)
+    assert res.history[-1] != res.history[0]
+    # non-PE selection picks the final point of the best restart
+    assert float(res.value) == float(res.history[-1])
 
 
 def test_hs_cost_zero_at_match():
