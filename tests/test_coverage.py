@@ -171,6 +171,22 @@ def test_monodromy_ks_batch_matches_ranges():
     np.testing.assert_array_equal(monodromy_ks_batch(cov, targets), ks_ref)
 
 
+def test_make_ks_assign_fn_memoized():
+    """Repeat calls with the same coverage return the SAME kernel objects
+    (no host table rebuild, no re-upload of the layer arrays — the hot
+    paths call this per invocation)."""
+    from slam_decomposition_tpu.coverage.coverage import (
+        gate_set_to_coverage,
+        make_ks_assign_fn,
+    )
+    from slam_decomposition_tpu.models import gates
+
+    cov = gate_set_to_coverage(gates.cg_sqiswap())
+    key1, fn1, ks1 = make_ks_assign_fn(cov)
+    key2, fn2, ks2 = make_ks_assign_fn(cov)
+    assert fn1 is fn2 and ks1 is ks2 and key1 == key2
+
+
 import jax as _jax
 import pytest as _pytest
 
