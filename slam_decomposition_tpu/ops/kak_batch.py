@@ -599,6 +599,11 @@ def make_analytic_init(k: int, dtype=jnp.float32):
         def one(a, b):
             return _synth_one(a.astype(dtype), b.astype(dtype), k, dtype)
 
-        return jax.vmap(one)(t_re, t_im)
+        # full-f32 matmuls: the TPU default (bf16-pass matmul) destroys the
+        # root separation of the interleave quartic at degenerate classes —
+        # exact-SWAP lanes went NaN and near-identity lanes left the polish
+        # basin on TPU while the identical f32 program was fine on CPU
+        with jax.default_matmul_precision("float32"):
+            return jax.vmap(one)(t_re, t_im)
 
     return init

@@ -392,4 +392,18 @@ def make_analytic_solver(
     solve.init_only = lambda tgt: init(
         tgt[0].astype(jnp.float32), tgt[1].astype(jnp.float32)
     )
+
+    def repolish(x, tgt):
+        """One more f64-LM pass from an existing iterate (damping restarts
+        at lambda0). Measured on QFT-64's near-identity k=2 lanes
+        (2026-08-19): certifies 0 of the 426 first-pass failures — those
+        iterates sit in a wrong local basin (the f32 interleave quartic
+        cannot resolve the merged roots near the identity class), not on a
+        slow-convergence tail, so the host fallback remains the rescue
+        path for them. Kept as API: a caller with an out-of-band seed
+        (preseed store, perturbed params) still needs polish+certify."""
+        x = base.polish(x, tgt)
+        return x, base.certify(x, tgt)
+
+    solve.repolish = repolish
     return solve

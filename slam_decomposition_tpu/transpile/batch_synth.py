@@ -84,6 +84,44 @@ def _params_to_steps(x: np.ndarray, k: int, U: np.ndarray, atol: float):
     return [("phase", float(np.angle(tr)))] + steps
 
 
+def _product_steps_batch(Us: np.ndarray, atol: float):
+    """Vectorized k=0 synthesis: each U is (within the k-assignment
+    tolerance) e^{i phase} kron(l, r), recovered by the rank-1
+    rearrangement in one numpy pass over the whole batch — the same
+    closed form as kak.py:83-94 without the per-block SVD (the dominant
+    row of the rearrangement IS the right factor for a product gate).
+    Returns a steps list per block, or None where the product
+    approximation misses the certification bar (a genuinely non-product
+    block inside the identity-class tolerance band goes to the exact
+    host routine). The full host KAK costs ~5 ms/block; on a 2048-block
+    QFT-64 the ~750 identity-class cp gates were most of the warm
+    pass wall-clock."""
+    B = len(Us)
+    R = Us.reshape(B, 2, 2, 2, 2).transpose(0, 1, 3, 2, 4).reshape(B, 4, 4)
+    norms = (np.abs(R) ** 2).sum(axis=2)  # (B, 4) row norms^2
+    i0 = norms.argmax(axis=1)
+    ar = np.arange(B)
+    rvec = R[ar, i0]  # (B, 4)
+    lvec = np.einsum("bij,bj->bi", R, rvec.conj()) / norms[ar, i0][:, None]
+    l = lvec.reshape(B, 2, 2)
+    r = rvec.reshape(B, 2, 2)
+    dl = l[:, 0, 0] * l[:, 1, 1] - l[:, 0, 1] * l[:, 1, 0]
+    dr = r[:, 0, 0] * r[:, 1, 1] - r[:, 0, 1] * r[:, 1, 0]
+    l = l / np.sqrt(dl)[:, None, None]
+    r = r / np.sqrt(dr)[:, None, None]
+    V = np.einsum("bik,bjl->bijkl", l, r).reshape(B, 4, 4)
+    tr = np.einsum("bij,bij->b", V.conj(), Us)
+    infid = 1.0 - np.abs(tr) / 4.0
+    phases = np.angle(tr)
+    out = []
+    for i in range(B):
+        if infid[i] <= atol:
+            out.append([("phase", float(phases[i])), ("1q", (l[i], r[i]))])
+        else:
+            out.append(None)
+    return out
+
+
 def sqiswap_decompose_batch(
     Us: np.ndarray,
     atol: float = 1e-10,
@@ -111,8 +149,14 @@ def sqiswap_decompose_batch(
     n_device = n_fallback = 0
 
     trivial_idx = np.where(counts <= 1)[0]
+    zeros = trivial_idx[counts[trivial_idx] == 0]
+    if len(zeros):
+        for i, steps in zip(zeros, _product_steps_batch(Us[zeros], atol)):
+            if steps is not None:
+                results[i] = (steps, 0)
     for i in trivial_idx:
-        results[i] = sqiswap_decompose(Us[i])
+        if results[i] is None:
+            results[i] = sqiswap_decompose(Us[i])
 
     for k in (2, 3):
         idx = np.where(counts == k)[0]
