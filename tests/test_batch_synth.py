@@ -54,6 +54,38 @@ def test_batch_matches_host_contract():
     assert stats["device"] + stats["fallback"] + stats["trivial"] == len(U)
 
 
+def test_product_steps_batch_fast_path():
+    """The vectorized k=0 synthesis recovers exact product blocks in one
+    numpy pass (phase + 1q split, no sqiswaps) and rejects non-product
+    blocks so they route to the exact host path."""
+    from slam_decomposition_tpu.transpile.batch_synth import (
+        _product_steps_batch,
+    )
+
+    rng = np.random.default_rng(17)
+
+    def rand1q():
+        z = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        q, r = np.linalg.qr(z)
+        return q * (np.diag(r) / np.abs(np.diag(r)))
+
+    prods = np.stack(
+        [np.exp(1j * rng.uniform(-np.pi, np.pi)) * np.kron(rand1q(), rand1q())
+         for _ in range(12)]
+    )
+    prods[0] = np.eye(4)  # degenerate: exact identity
+    non_prod = np.stack([hkak.can_matrix(0.3, 0.1, 0.05),
+                         hkak.SQISWAP_M])
+    out = _product_steps_batch(np.concatenate([prods, non_prod]), 1e-10)
+    for i, steps in enumerate(out[:12]):
+        assert steps is not None, i
+        assert all(kind != "sqiswap" for kind, _ in steps)
+        V = hkak.steps_to_matrix(steps)
+        infid = 1.0 - abs(np.trace(V.conj().T @ prods[i])) / 4.0
+        assert infid <= 1e-10, (i, infid)
+    assert out[12] is None and out[13] is None  # entangling: rejected
+
+
 def test_pass_manager_basic_batched_matches_host():
     c = library.qft(5)
     host, m_host = pass_manager_basic(
