@@ -521,7 +521,7 @@ def make_ks_assign_fn(coverage):
 
     memo_key = tuple(id(c) for c in coverage)
     if memo_key in _ASSIGN_FN_MEMO:
-        return _ASSIGN_FN_MEMO[memo_key]
+        return _ASSIGN_FN_MEMO[memo_key][0]
 
     # host-side layer tables (tiny; uploaded once per coverage)
     layers = sorted([c for c in coverage if c.cost > 0], key=lambda c: c.cost)
@@ -614,7 +614,11 @@ def make_ks_assign_fn(coverage):
         return idx, unsafe
 
     assign_fn.f32 = assign_fn_f32
-    _ASSIGN_FN_MEMO[memo_key] = (key, assign_fn, ks_of_layer)
+    # pin the coverage objects alongside the value: the key is their id()s,
+    # and CPython reuses ids after GC — without the pin, a caller dropping
+    # its coverage list could let a DIFFERENT later coverage collide on the
+    # full id tuple and silently receive this kernel (advisor r2, medium)
+    _ASSIGN_FN_MEMO[memo_key] = ((key, assign_fn, ks_of_layer), tuple(coverage))
     return key, assign_fn, ks_of_layer
 
 

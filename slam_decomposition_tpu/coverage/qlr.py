@@ -74,16 +74,12 @@ def lr_coefficient(lam: Partition, mu: Partition, nu: Partition) -> int:
             right = grid.get((i, j + 1))
             if right is not None and v > right:
                 continue
-            # column strictly increasing downward: cell above (i-1, j)
+            # column strictly increasing downward: cell above (i-1, j);
+            # a cell of lam (absent from grid) imposes no constraint
             if i > 0:
                 above = grid.get((i - 1, j))
                 if above is not None and v <= above:
                     continue
-                # above cell inside lam => no constraint; outside nu => no
-                if j < (_pad(lam, rows)[i - 1]) or j < nu[i - 1]:
-                    pass
-                if j >= nu[i - 1] if i > 0 else False:
-                    pass
             grid[(i, j)] = v
             weight[v - 1] += 1
             word_counts[v - 1] += 1

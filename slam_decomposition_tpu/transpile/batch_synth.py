@@ -97,25 +97,31 @@ def _product_steps_batch(Us: np.ndarray, atol: float):
     QFT-64 the ~750 identity-class cp gates were most of the warm
     pass wall-clock."""
     B = len(Us)
-    R = Us.reshape(B, 2, 2, 2, 2).transpose(0, 1, 3, 2, 4).reshape(B, 4, 4)
-    norms = (np.abs(R) ** 2).sum(axis=2)  # (B, 4) row norms^2
-    i0 = norms.argmax(axis=1)
-    ar = np.arange(B)
-    rvec = R[ar, i0]  # (B, 4)
-    lvec = np.einsum("bij,bj->bi", R, rvec.conj()) / norms[ar, i0][:, None]
-    l = lvec.reshape(B, 2, 2)
-    r = rvec.reshape(B, 2, 2)
-    dl = l[:, 0, 0] * l[:, 1, 1] - l[:, 0, 1] * l[:, 1, 0]
-    dr = r[:, 0, 0] * r[:, 1, 1] - r[:, 0, 1] * r[:, 1, 0]
-    l = l / np.sqrt(dl)[:, None, None]
-    r = r / np.sqrt(dr)[:, None, None]
-    V = np.einsum("bik,bjl->bijkl", l, r).reshape(B, 4, 4)
-    tr = np.einsum("bij,bij->b", V.conj(), Us)
-    infid = 1.0 - np.abs(tr) / 4.0
+    # non-product blocks inside the k=0 band yield near-zero dets/norms;
+    # the NaN/inf infidelity is rejected explicitly below — suppress the
+    # transient numpy warnings rather than leak them to callers
+    with np.errstate(invalid="ignore", divide="ignore"):
+        R = (
+            Us.reshape(B, 2, 2, 2, 2).transpose(0, 1, 3, 2, 4).reshape(B, 4, 4)
+        )
+        norms = (np.abs(R) ** 2).sum(axis=2)  # (B, 4) row norms^2
+        i0 = norms.argmax(axis=1)
+        ar = np.arange(B)
+        rvec = R[ar, i0]  # (B, 4)
+        lvec = np.einsum("bij,bj->bi", R, rvec.conj()) / norms[ar, i0][:, None]
+        l = lvec.reshape(B, 2, 2)
+        r = rvec.reshape(B, 2, 2)
+        dl = l[:, 0, 0] * l[:, 1, 1] - l[:, 0, 1] * l[:, 1, 0]
+        dr = r[:, 0, 0] * r[:, 1, 1] - r[:, 0, 1] * r[:, 1, 0]
+        l = l / np.sqrt(dl)[:, None, None]
+        r = r / np.sqrt(dr)[:, None, None]
+        V = np.einsum("bik,bjl->bijkl", l, r).reshape(B, 4, 4)
+        tr = np.einsum("bij,bij->b", V.conj(), Us)
+        infid = 1.0 - np.abs(tr) / 4.0
     phases = np.angle(tr)
     out = []
     for i in range(B):
-        if infid[i] <= atol:
+        if np.isfinite(infid[i]) and infid[i] <= atol:
             out.append([("phase", float(phases[i])), ("1q", (l[i], r[i]))])
         else:
             out.append(None)
