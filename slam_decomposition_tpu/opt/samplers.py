@@ -48,6 +48,191 @@ def _clifford_generators(n_qubits: int):
     raise NotImplementedError
 
 
+# ---------------------------------------------------------------------------
+# exact-uniform Clifford sampling for ANY n (Koenig-Smolin symplectic index)
+# ---------------------------------------------------------------------------
+# The reference sampled Cliffords for any n via qiskit's random_clifford
+# (sampler.py:57-59). Here: a bijection {0..|Sp(2n,2)|-1} -> Sp(2n, GF(2))
+# (Koenig & Smolin, J. Math. Phys. 55, 122202 (2014)) picks the symplectic
+# tableau exactly uniformly; 2n sign bits pick the Pauli phases; the
+# unitary is built directly from the tableau by stabilizer projection —
+# no circuit synthesis step at all. Bit convention: symplectic vectors are
+# (x1, z1, x2, z2, ...) with form <v,w> = sum_i v_x[i] w_z[i] + v_z[i] w_x[i].
+
+
+def _sp_inner(v: np.ndarray, w: np.ndarray) -> int:
+    t = 0
+    for i in range(len(v) >> 1):
+        t ^= int(v[2 * i]) & int(w[2 * i + 1])
+        t ^= int(w[2 * i]) & int(v[2 * i + 1])
+    return t
+
+
+def _transvection(k: np.ndarray, v: np.ndarray) -> np.ndarray:
+    return (v + _sp_inner(k, v) * k) % 2
+
+
+def _int2bits(i: int, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=np.int64)
+    for j in range(n):
+        out[j] = i & 1
+        i >>= 1
+    return out
+
+
+def _find_transvection(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """h (2, 2n) with Z_h1 Z_h0 x = y (Koenig-Smolin Lemma 2)."""
+    out = np.zeros((2, len(x)), dtype=np.int64)
+    if np.array_equal(x, y):
+        return out
+    if _sp_inner(x, y) == 1:
+        out[0] = (x + y) % 2
+        return out
+    # find a qubit slot where both x and y are nonzero
+    z = np.zeros(len(x), dtype=np.int64)
+    for i in range(len(x) >> 1):
+        ii = 2 * i
+        if (x[ii] + x[ii + 1]) != 0 and (y[ii] + y[ii + 1]) != 0:
+            z[ii] = (x[ii] + y[ii]) % 2
+            z[ii + 1] = (x[ii + 1] + y[ii + 1]) % 2
+            if z[ii] + z[ii + 1] == 0:  # same Pauli on this slot
+                z[ii + 1] = 1
+                if x[ii] != x[ii + 1]:
+                    z[ii] = 1
+            out[0] = (x + z) % 2
+            out[1] = (y + z) % 2
+            return out
+    # else: one slot where x nonzero / y zero, one where y nonzero / x zero
+    for i in range(len(x) >> 1):
+        ii = 2 * i
+        if (x[ii] + x[ii + 1]) != 0 and (y[ii] + y[ii + 1]) == 0:
+            if x[ii] == x[ii + 1]:
+                z[ii + 1] = 1
+            else:
+                z[ii + 1] = x[ii]
+                z[ii] = x[ii + 1]
+            break
+    for i in range(len(x) >> 1):
+        ii = 2 * i
+        if (x[ii] + x[ii + 1]) == 0 and (y[ii] + y[ii + 1]) != 0:
+            if y[ii] == y[ii + 1]:
+                z[ii + 1] = 1
+            else:
+                z[ii + 1] = y[ii]
+                z[ii] = y[ii + 1]
+            break
+    out[0] = (x + z) % 2
+    out[1] = (y + z) % 2
+    return out
+
+
+def sp_group_order(n: int) -> int:
+    """|Sp(2n, GF(2))| = 2^(n^2) prod_j (4^j - 1)."""
+    o = 1 << (n * n)
+    for j in range(1, n + 1):
+        o *= (1 << (2 * j)) - 1
+    return o
+
+
+def symplectic_from_index(i: int, n: int) -> np.ndarray:
+    """The i-th element of Sp(2n, GF(2)) under the Koenig-Smolin bijection
+    (rows are images of the basis vectors X1, Z1, X2, Z2, ...)."""
+    nn = 2 * n
+    s = (1 << nn) - 1
+    k = (i % s) + 1
+    i //= s
+    f1 = _int2bits(k, nn)
+    e1 = np.zeros(nn, dtype=np.int64)
+    e1[0] = 1
+    T = _find_transvection(e1, f1)  # T maps e1 -> f1
+    bits = _int2bits(i % (1 << (nn - 1)), nn - 1)
+    i //= 1 << (nn - 1)
+    eprime = e1.copy()
+    for j in range(2, nn):
+        eprime[j] = bits[j - 1]
+    h0 = _transvection(T[0], eprime)
+    h0 = _transvection(T[1], h0)
+    if bits[0] == 1:
+        f1 = f1 * 0  # zero vector: the f1 transvection becomes a no-op
+    if n == 1:
+        g = np.eye(2, dtype=np.int64)
+    else:
+        gsub = symplectic_from_index(i, n - 1)
+        g = np.zeros((nn, nn), dtype=np.int64)
+        g[:2, :2] = np.eye(2, dtype=np.int64)
+        g[2:, 2:] = gsub
+    for j in range(nn):
+        row = _transvection(T[0], g[j])
+        row = _transvection(T[1], row)
+        row = _transvection(h0, row)
+        row = _transvection(f1, row)
+        g[j] = row
+    return g
+
+
+def _pauli_matrix(v: np.ndarray, sign: int) -> np.ndarray:
+    """Hermitian Pauli (-1)^sign * i^(x.z) X^x Z^z for the symplectic
+    vector v = (x1, z1, x2, z2, ...)."""
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Z = np.array([[1, 0], [0, -1]], dtype=complex)
+    P = np.array([[1.0 + 0j]])
+    xz = 0
+    for q in range(len(v) >> 1):
+        x, z = int(v[2 * q]), int(v[2 * q + 1])
+        xz += x & z
+        m = np.eye(2, dtype=complex)
+        if x:
+            m = m @ X
+        if z:
+            m = m @ Z
+        P = np.kron(P, m)
+    return ((-1) ** sign) * (1j**xz) * P
+
+
+def clifford_unitary(g: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """Unitary (2^n, 2^n) of the Clifford with tableau g (rows 2j / 2j+1 =
+    symplectic images of X_j / Z_j) and 2n phase bits, via stabilizer
+    projection: |psi_0> = C|0> is the +1 eigenvector of the Z-images,
+    column x is prod_j (X_j image)^{x_j} |psi_0> (the X-images commute,
+    so the product order is irrelevant)."""
+    n = len(g) >> 1
+    d = 1 << n
+    proj = np.eye(d, dtype=complex)
+    for j in range(n):
+        S = _pauli_matrix(g[2 * j + 1], int(signs[2 * j + 1]))
+        proj = proj @ (np.eye(d, dtype=complex) + S) / 2.0
+    # rank-1 projector (times a phase-free positive factor): any nonzero
+    # column is |psi_0>
+    norms = np.linalg.norm(proj, axis=0)
+    c = int(np.argmax(norms))
+    psi0 = proj[:, c] / norms[c]
+    imgX = [_pauli_matrix(g[2 * j], int(signs[2 * j])) for j in range(n)]
+    C = np.empty((d, d), dtype=complex)
+    for x in range(d):
+        col = psi0
+        for j in range(n):
+            if (x >> (n - 1 - j)) & 1:  # qubit 0 = most significant bit
+                col = imgX[j] @ col
+        C[:, x] = col
+    return C
+
+
+def clifford_sample_any(
+    n_samples: int = 1, n_qubits: int = 3, seed: Optional[int] = None
+) -> np.ndarray:
+    """Exactly uniform Cliffords (mod global phase) for ANY qubit count:
+    uniform symplectic index x uniform sign bits. Ground truth: for
+    n <= 2 the construction enumerates EXACTLY the BFS group (tested)."""
+    rng = np.random.default_rng(seed)
+    order = sp_group_order(n_qubits)
+    out = np.empty((n_samples, 1 << n_qubits, 1 << n_qubits), dtype=complex)
+    for s in range(n_samples):
+        idx = int(rng.integers(0, order))
+        signs = rng.integers(0, 2, size=2 * n_qubits)
+        out[s] = clifford_unitary(symplectic_from_index(idx, n_qubits), signs)
+    return out
+
+
 _CLIFFORD_CACHE = {}
 
 
@@ -89,7 +274,14 @@ def _clifford_group(n_qubits: int) -> np.ndarray:
 
 
 def clifford_sample(n_samples: int = 1, n_qubits: int = 2, seed: Optional[int] = None):
-    """Exactly uniform random Clifford unitaries (up to global phase)."""
+    """Exactly uniform random Clifford unitaries (up to global phase).
+
+    n <= 2: draw from the fully enumerated group (24 / 11520 elements);
+    n >= 3: Koenig-Smolin symplectic index + sign bits (same distribution,
+    no enumeration — the reference deferred to qiskit's random_clifford
+    here, sampler.py:57-59)."""
+    if n_qubits >= 3:
+        return clifford_sample_any(n_samples, n_qubits, seed)
     group = _clifford_group(n_qubits)
     rng = np.random.default_rng(seed)
     return group[rng.integers(0, len(group), size=n_samples)].copy()
