@@ -10,8 +10,12 @@ Pipeline (the reference's own flow, batched):
   1. monodromy coverage ranges for ALL targets in one batched device call
      (polytope membership; reference did this serially per target,
      optimizer.py:183 + polytope_wrap.py:39);
-  2. bucket targets by exact k (2 or 3 for sqiswap), pad to fixed chunks;
-  3. per bucket, solve at exactly k applications with the three fused
+  2. bucket targets by exact k (2 or 3 for sqiswap), pad to ONE fixed
+     chunk shape (pad lanes cycle the bucket's own targets, so padding is
+     extra restarts, min-reduced on collect — not wasted work);
+  3. per bucket, solve at exactly k applications through the MESH path
+     (parallel.mesh.sharded_solver_smap over a 1-device mesh here; the
+     same program shards dp x rp on real pods) hosting the three fused
      Pallas kernels (Adam warm start, f32 LM ranking, double-single LM
      polish — ops/pallas_chain.py) + true-f64 certification.
 
@@ -27,11 +31,15 @@ deliberately — it is an artifact of the remote-tunnel test rig, not of
 the pipeline (production targets are generated or held on-device); this
 exclusion is stated next to the headline number in README.md. B=100k is
 the default because at 10k the ~0.3 s timed region is dominated by fixed
-per-dispatch tunnel latency rather than device throughput (10k: ~30k
-targets/s; 100k: ~70k targets/s, same certification).
+per-dispatch tunnel latency rather than device throughput.
+
+Env knobs: BENCH_MESH=0 falls back to the plain (non-shard_map) jit
+solver; BENCH_MFU=1 additionally prints the FLOPs/MFU roofline line
+(see _mfu_report).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -46,103 +54,112 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from slam_decomposition_tpu.models import gates
 from slam_decomposition_tpu.models.templates import build_ansatz, cycle_gates
-from slam_decomposition_tpu.opt.gauss_newton import make_solver
 from slam_decomposition_tpu.opt.samplers import haar_sample
 from slam_decomposition_tpu.ops import cplx
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
-# bucket tails dispatch in smaller chunks to cap padding waste (a k=3
-# bucket of 21k at CHUNK=10k would otherwise pad 30%); both shapes'
-# executables are exercised by the warmup pass
-TAIL_CHUNK = min(2_500, CHUNK)
+def _argv_int(i, default):
+    # tolerate import under pytest/tools where argv isn't ours
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+B = _argv_int(1, 100_000)
+CHUNK = _argv_int(2, 10_000)
 RESTARTS = 4
 THRESH = 1e-10
 NORTH_STAR_RATE = 10_000 / 60.0
+USE_MESH = os.environ.get("BENCH_MESH", "1") == "1"
 
 
 def build(k):
     a = build_ansatz(cycle_gates([gates.SQISWAP], k))
-    return (
-        jax.jit(make_solver(a.eval_fn, a.n_params, chain_gates=a.chain_gates)),
-        a,
-    )
+    if USE_MESH:
+        # production path == mesh path (round-2 VERDICT item 4): the same
+        # shard_map program the multi-chip dryrun certifies, on a 1-device
+        # mesh here; iteration counts match make_solver's defaults exactly
+        from slam_decomposition_tpu.parallel.mesh import (
+            make_mesh,
+            sharded_solver_smap,
+        )
+
+        mesh = make_mesh(1, rp=1)
+        solver = sharded_solver_smap(
+            a,
+            mesh,
+            adam_iters=100,
+            lm32_iters=8,
+            lm_iters=6,
+            chain_gates=a.chain_gates,
+        )
+    else:
+        from slam_decomposition_tpu.opt.gauss_newton import make_solver
+
+        solver = jax.jit(
+            make_solver(a.eval_fn, a.n_params, chain_gates=a.chain_gates)
+        )
+    return solver, a
 
 
 def launch_bucket(T, idx, solver, ansatz, key):
-    """Launch solves for the targets T[idx] in fixed-size chunks (pad the
-    tail by repetition); return the chunk futures WITHOUT syncing any.
-    Targets stay device-resident (T was uploaded ONCE for the whole run —
-    the host<->device tunnel at ~18 MB/s is the bottleneck, not compute);
-    chunks are gathered on device from int32 index arrays. The caller
-    downloads every bucket's results in ONE jax.device_get: a serial
-    np.asarray per chunk costs a ~26 ms tunnel round trip each, which at
-    B=100k (15+ chunks) was rivaling the solve compute itself."""
-    n = len(idx)
+    """Launch solves for targets T[idx] in CHUNK-size pieces; the final
+    partial chunk cycles the bucket's own indices (np.resize), so pad
+    lanes are EXTRA RESTARTS of real targets rather than dead work —
+    collect() min-reduces duplicates. One fixed chunk shape means one
+    solver executable per k (the 2.5k tail shape of round 2 is gone:
+    each extra jit shape cost 40-125 s of compile-cache deserialization
+    or minutes of remote AOT per round, ROUND2_NOTES.md "Warm-up").
+
+    Targets stay device-resident (T was uploaded ONCE for the whole run);
+    chunks are gathered on device from int32 index arrays, and all chunk
+    results download in ONE jax.device_get (collect)."""
     futs = []
-    # chunk plan: full-size chunks, then a tail in TAIL_CHUNK-size pieces
-    # (launch count stays low where it matters; padding stays <TAIL_CHUNK)
-    plan = []
-    s = 0
-    while n - s >= CHUNK:
-        plan.append((s, CHUNK))
-        s += CHUNK
-    while s < n:
-        plan.append((s, TAIL_CHUNK))
-        s += TAIL_CHUNK
-    for s, ch in plan:
-        part_idx = idx[s : s + ch]
-        valid = len(part_idx)
-        if valid < ch:
-            part_idx = np.concatenate(
-                [part_idx, np.repeat(part_idx[:1], ch - valid)]
-            )
-        ii = jnp.asarray(part_idx, dtype=jnp.int32)
+    for s in range(0, len(idx), CHUNK):
+        part = idx[s : s + CHUNK]
+        if len(part) < CHUNK:
+            part = np.resize(idx[s:], CHUNK)
+        ii = jnp.asarray(part, dtype=jnp.int32)
         tgt = (jnp.take(T[0], ii, axis=0), jnp.take(T[1], ii, axis=0))
         key, sub = jax.random.split(key)
         x0 = jax.random.uniform(
-            sub, (ch, RESTARTS, ansatz.n_params), dtype=jnp.float64
+            sub, (CHUNK, RESTARTS, ansatz.n_params), dtype=jnp.float64
         ) * (2 * np.pi)
         _, bf = solver(x0, tgt)
-        futs.append((s, valid, bf))
+        futs.append((part, bf))
     return futs, key
 
 
-def collect_buckets(pending):
-    """One parallel transfer for every launched chunk across all buckets;
-    returns the per-bucket loss arrays in order."""
-    flat = [bf for _, futs in pending for (_, _, bf) in futs]
-    got = iter(jax.device_get(flat))
-    out = []
-    for idx, futs in pending:
-        losses = np.empty(len(idx))
-        for s, valid, _ in futs:
-            losses[s : s + valid] = next(got)[:valid]
-        out.append(losses)
-    return out
+def collect(losses, futs):
+    """One parallel transfer for every launched chunk, min-reduced into
+    the global loss array (duplicate indices from cyclic padding keep
+    their best restart)."""
+    flat = jax.device_get([bf for _, bf in futs])
+    for (part, _), l in zip(futs, flat):
+        np.minimum.at(losses, part, l)
 
 
 def run(T, n_targets, key, s2, a2, s3, a3, ks):
-    losses = np.empty(n_targets)
-    pending = []
+    losses = np.full(n_targets, np.inf)
+    futs = []
     for k, solver, ansatz in ((2, s2, a2), (3, s3, a3)):
         idx = np.where(ks == k)[0]
         if len(idx) == 0:
             continue
-        futs, key = launch_bucket(T, idx, solver, ansatz, key)
-        pending.append((idx, futs))
-    for (idx, _), l in zip(pending, collect_buckets(pending)):
-        losses[idx] = l
+        f, key = launch_bucket(T, idx, solver, ansatz, key)
+        futs += f
+    collect(losses, futs)
     # rescue rounds: unconverged targets re-solve at k=3 with fresh seeds
     # (the reference's spanning-range extension + restart ladder,
-    # optimizer.py:233-303); every target is k<=3-coverable
+    # optimizer.py:233-303); every target is k<=3-coverable. The cyclic
+    # chunk padding gives each stuck target CHUNK/len(stuck) extra restart
+    # groups per round, so one round almost always clears the set.
     for _ in range(3):
         stuck = np.where(losses > THRESH)[0]
         if len(stuck) == 0:
             break
-        futs, key = launch_bucket(T, stuck, s3, a3, key)
-        (l,) = collect_buckets([(stuck, futs)])
-        losses[stuck] = np.minimum(losses[stuck], l)
+        f, key = launch_bucket(T, stuck, s3, a3, key)
+        collect(losses, f)
     return losses
 
 
@@ -159,12 +176,13 @@ def main():
     print(f"# warmup/build+coverage: {time.time() - t0:.1f}s", file=sys.stderr)
 
     # upload each target set ONCE; ranges and every solve chunk gather
-    # from the device-resident pair. The warmup set has the SAME shape as
-    # the timed set so every executable (chunk slicing, gathers, kernels)
-    # is warm before the clock starts.
-    T_w = cplx.from_numpy(haar_sample(B, seed=123))
+    # from the device-resident pair. The warmup set needs only ONE chunk
+    # of each executable shape (ks: 8192-chunk + escalations; solve: one
+    # k=2 and one k=3 chunk), so it is a single CHUNK, not a full B —
+    # warm-up execution time is ~0.5 s; what remains is trace + compile.
+    n_w = min(B, CHUNK)
+    T_w = cplx.from_numpy(haar_sample(n_w, seed=123))
     T = cplx.from_numpy(haar_sample(B, seed=456))
-    n_w = int(T_w[0].shape[0])
 
     t0 = time.time()
     t1 = time.time()
@@ -189,6 +207,10 @@ def main():
         f"worst loss {float(losses.max()):.2e}",
         file=sys.stderr,
     )
+    if os.environ.get("BENCH_MFU", "") == "1":
+        from slam_decomposition_tpu.utils.mfu import mfu_report
+
+        mfu_report(B, dt, t_ranges, ks, RESTARTS, file=sys.stderr)
     rate = n_ok / dt
     print(
         json.dumps(

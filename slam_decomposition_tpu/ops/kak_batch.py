@@ -287,10 +287,10 @@ def _rx_c(t, c):
     return jnp.stack([row0, row1])
 
 
-def _durand_kerner(coeffs, iters: int = 48):
+def _durand_kerner(coeffs, iters: int = 48, cdtype=jnp.complex64):
     """All four roots of a quartic (monic-normalized internally),
     branch-free. coeffs: (5,) real, highest power first."""
-    c = coeffs.astype(jnp.complex64)
+    c = coeffs.astype(cdtype)
     c = c / c[0]
 
     def poly(z):
@@ -298,13 +298,13 @@ def _durand_kerner(coeffs, iters: int = 48):
 
     # standard DK init: powers of a non-real ratio, scaled by a root bound
     bound = 1.0 + jnp.max(jnp.abs(c[1:]))
-    w = jnp.asarray(0.4 + 0.9j, jnp.complex64)
+    w = jnp.asarray(0.4 + 0.9j, cdtype)
     z = bound * w ** jnp.arange(1, 5)
 
     def body(_, z):
         out = []
         for i in range(4):
-            prod = jnp.asarray(1.0 + 0j, jnp.complex64)
+            prod = jnp.asarray(1.0 + 0j, cdtype)
             for j in range(4):
                 if j != i:
                     prod = prod * (z[i] - z[j])
@@ -323,7 +323,11 @@ def _interleave_angles(t, dtype):
     Durand-Kerner on the quartic in q, the two z=0 boundary branches always
     included, winner by Makhlin residual against CAN(t)."""
     x, y, z = t[0], t[1], t[2]
-    f32 = jnp.float32
+    # quartic arithmetic in the working real dtype: f32 on the device path
+    # (the polish kernel rescues ~1e-6 inits), true f64 on the CPU rescue
+    # path where the f32 root separation is structurally insufficient
+    # (near-identity classes — docs/device_transpile.md "Fallback anatomy")
+    f32 = dtype
     K1 = (jnp.cos(2 * x) * jnp.cos(2 * y) * jnp.cos(2 * z)).astype(f32)
     K2 = (jnp.sin(2 * x) * jnp.sin(2 * y) * jnp.sin(2 * z)).astype(f32)
     K3 = (jnp.cos(4 * x) * jnp.cos(4 * y) * jnp.cos(4 * z)).astype(f32)
@@ -336,7 +340,7 @@ def _interleave_angles(t, dtype):
             4 * K2**4,
         ]
     )
-    roots = _durand_kerner(coeffs)
+    roots = _durand_kerner(coeffs, cdtype=_cdtype(dtype))
     dcoeffs = coeffs[:-1] * jnp.asarray([4.0, 3.0, 2.0, 1.0], f32)
 
     def newton(q):

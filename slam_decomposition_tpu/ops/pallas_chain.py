@@ -149,6 +149,42 @@ def _phase_residual_tiles(xs, T, Gs, k, n_params):
     return out
 
 
+def _jacobian_tiles(res, x, n):
+    """J (n, 32, S, L): columns of the residual Jacobian w.r.t. the n
+    per-lane parameters.
+
+    Linearize ``res`` ONCE at x and apply the resulting linear map to all n
+    one-hot tangents under vmap — the traced program contains ~3 chain
+    evaluations (primal + linear + its batched copy) instead of the n
+    spliced chains the previous per-parameter ``jax.jvp`` unrolling
+    produced. That unrolling was the round-2 warm-up bottleneck: ~200 s of
+    single-core host tracing across the solver shapes (ROUND2_NOTES.md
+    "Warm-up"). Compiled code is equivalent (same JVP arithmetic, batched).
+    """
+    _, lin = jax.linearize(res, x)
+    S, L = x.shape[1], x.shape[2]
+    # one-hot tangents via int32 iota: jnp.eye builds an int64 iota under
+    # x64, which Mosaic rejects (vector bitwidth > 32; bisected
+    # 2026-08-20), and pallas kernels cannot capture array constants
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n, S, L), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n, S, L), 1)
+    eye = (ii == jj).astype(x.dtype)
+    return jax.vmap(lambda e: jnp.stack(lin(e)))(eye)
+
+
+def _normal_eq(J, r, n):
+    """A = J J^T (n, n, S, L) and g = J r (n, S, L) from J (n, 32, S, L),
+    contracting the 32 residual components one at a time — the full outer
+    product (n, n, 32, S, L) would be ~75 MB of VMEM at k=3."""
+    A = None
+    for c in range(J.shape[1]):
+        Jc = J[:, c]
+        term = Jc[:, None] * Jc[None, :]
+        A = term if A is None else A + term
+    g = (J * r[None]).sum(axis=1)
+    return A, g
+
+
 def lm_block(xs, tt, Gs: np.ndarray, lm_iters: int):
     """Pure-jnp LM block: xs (n, S, L) params, tt (32, S, L) target tiles
     -> (x_final, ||r||^2 per lane). This IS the Pallas kernel body — kept
@@ -191,29 +227,9 @@ def lm_block(xs, tt, Gs: np.ndarray, lm_iters: int):
 
     def lm_step(_, carry):
         x, lam, r, f0 = carry
-        # J columns via n unrolled JVPs (forward mode: n < 32 rows)
-        cols = []
-        one = jnp.ones_like(x[:1])
-        zero = jnp.zeros_like(x[:1])
-        for p in range(n):
-            # unit tangent by concatenation (scatter doesn't lower)
-            e = jnp.concatenate(
-                [zero] * p + [one] + [zero] * (n - p - 1), axis=0
-            )
-            _, jcol = jax.jvp(res, (x,), (e,))
-            cols.append(jnp.stack(jcol))  # (32, S, L)
-        # normal equations from the column list (symmetric)
-        A_rows = []
-        for i in range(n):
-            row = []
-            for j in range(n):
-                if j < i:
-                    row.append(A_rows[j][i])
-                else:
-                    row.append((cols[i] * cols[j]).sum(axis=0))
-            A_rows.append(row)
-        A = jnp.stack([jnp.stack(row) for row in A_rows])  # (n,n,S,L)
-        g = jnp.stack([(cols[i] * r).sum(axis=0) for i in range(n)])
+        # J (n, 32, S, L) via linearize-once + vmapped one-hot tangents
+        J = _jacobian_tiles(res, x, n)
+        A, g = _normal_eq(J, r, n)
         dx = cg_solve(A, -g, lam)
         xn = x + dx
         rn = jnp.stack(res(xn))
@@ -419,7 +435,7 @@ def polish_block(xh, xl, th, tl, Gs: np.ndarray, lm_iters: int):
     def res32(xs):
         return _phase_residual_tiles(xs, T32, Gs, k, n)
 
-    def res_df(x_pairs):
+    def _res_df_impl(x_pairs):
         V = _chain_df64(x_pairs, Gs, k)
         zt = jnp.zeros_like(x_pairs[0][0])
         t_re = df64.lift(zt)
@@ -445,6 +461,19 @@ def polish_block(xh, xl, th, tl, Gs: np.ndarray, lm_iters: int):
                 (tre, tim), (vre, vim) = Tdf[i][j], V[i][j]
                 out.append(df64.sub(vim, df64.add(df64.mul(c, tim), df64.mul(s, tre))))
         return out
+
+    # the df64 chain is ~20k primitives when traced; an inner jit makes its
+    # two call sites (init + loop body) share ONE traced jaxpr instead of
+    # re-tracing per site (the round-2 warm-up cost), and the pjit call is
+    # inlined again at lowering so the compiled kernel is unchanged
+    _res_df_jit = jax.jit(lambda xh_, xl_: _res_df_impl(
+        [(xh_[p], xl_[p]) for p in range(n)]
+    ))
+
+    def res_df(x_pairs):
+        xh_ = jnp.stack([p[0] for p in x_pairs])
+        xl_ = jnp.stack([p[1] for p in x_pairs])
+        return _res_df_jit(xh_, xl_)
 
     def sumsq_hi(r_list):
         f = jnp.zeros_like(r_list[0][0])
@@ -478,30 +507,16 @@ def polish_block(xh, xl, th, tl, Gs: np.ndarray, lm_iters: int):
         return [(xh_[p], xl_[p]) for p in range(n)]
 
     def lm_step(_, carry):
-        xh_, xl_, lam, f0 = carry
-        # f32 Jacobian at the hi words (mixed-precision: J only steers)
-        cols = []
-        one = jnp.ones_like(xh_[:1])
-        zero = jnp.zeros_like(xh_[:1])
-        for p in range(n):
-            e = jnp.concatenate([zero] * p + [one] + [zero] * (n - p - 1), axis=0)
-            _, jcol = jax.jvp(res32, (xh_,), (e,))
-            cols.append(jnp.stack(jcol))
-        r_df = res_df(unstack(xh_, xl_))
-        r_hi = jnp.stack([r[0] for r in r_df])  # (32, S, L) — f32 keeps
-        # ~7 digits of the df64 residual at ANY magnitude: exactly enough
-        # for the gradient direction
-        A_rows = []
-        for i in range(n):
-            row = []
-            for j in range(n):
-                if j < i:
-                    row.append(A_rows[j][i])
-                else:
-                    row.append((cols[i] * cols[j]).sum(axis=0))
-            A_rows.append(row)
-        A = jnp.stack([jnp.stack(r) for r in A_rows])
-        g = jnp.stack([(cols[i] * r_hi).sum(axis=0) for i in range(n)])
+        # r_hi is the df64 residual's hi word at the CURRENT iterate,
+        # carried across iterations (identical math to recomputing it —
+        # the accepted rn below IS res_df at the new x; f32 keeps ~7
+        # digits of the df64 residual at ANY magnitude: exactly enough
+        # for the gradient direction)
+        xh_, xl_, lam, r_hi, f0 = carry
+        # f32 Jacobian at the hi words (mixed-precision: J only steers),
+        # linearize-once + vmapped tangents (see _jacobian_tiles)
+        J = _jacobian_tiles(res32, xh_, n)
+        A, g = _normal_eq(J, r_hi, n)
         dx = cg_solve(A, -g, lam)
         # trial step in df64
         from slam_decomposition_tpu.ops import df64 as _df
@@ -514,15 +529,19 @@ def polish_block(xh, xl, th, tl, Gs: np.ndarray, lm_iters: int):
         lam = jnp.clip(lam, jnp.float32(1e-14), jnp.float32(1e3))
         xnh = jnp.stack([x[0] for x in xn])
         xnl = jnp.stack([x[1] for x in xn])
+        rn_hi = jnp.stack([r[0] for r in rn])
         xh_ = jnp.where(improved[None], xnh, xh_)
         xl_ = jnp.where(improved[None], xnl, xl_)
+        r_hi = jnp.where(improved[None], rn_hi, r_hi)
         f0 = jnp.where(improved, fn, f0)
-        return (xh_, xl_, lam, f0)
+        return (xh_, xl_, lam, r_hi, f0)
 
-    f0 = sumsq_hi(res_df(unstack(xh, xl)))
+    r0 = res_df(unstack(xh, xl))
+    f0 = sumsq_hi(r0)
+    r0_hi = jnp.stack([r[0] for r in r0])
     lam0 = jnp.full_like(f0, 1e-3)
-    xh, xl, _, _ = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(lm_iters), lm_step, (xh, xl, lam0, f0)
+    xh, xl, _, _, _ = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(lm_iters), lm_step, (xh, xl, lam0, r0_hi, f0)
     )
     return xh, xl
 

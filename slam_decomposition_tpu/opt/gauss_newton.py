@@ -297,7 +297,7 @@ def make_solver(
             # double-single on-chip polish; certification below stays in
             # true f64
             xs = pallas_polish(xs, tgt[0], tgt[1])
-        else:
+        elif lm_iters > 0:
             # LM holds jacfwd tangent intermediates (~2 MB/lane in f64):
             # bound live memory by mapping fixed-size lane chunks
             def lm_lane(args):

@@ -32,6 +32,39 @@ from slam_decomposition_tpu.transpile.kak import (
 # 256-lane chunk runs in ~10 ms.
 _CHUNK = 256
 _SOLVERS: Dict[int, tuple] = {}
+_F64_INITS: Dict[int, object] = {}
+
+
+def _init_f64(k: int):
+    """Batched TRUE-f64 analytic synthesis on the CPU backend — the rescue
+    tier for lanes the f32 device init cannot place in the polish basin
+    (near-identity classes: the interleave quartic's roots merge below f32
+    resolution; exact-SWAP lanes NaN on TPU — docs/device_transpile.md
+    "Fallback anatomy"). One vectorized XLA:CPU call replaces ~5 ms/block
+    of serial host KAK (the round-2 warm QFT-64 pass spent ~2.5 s here)."""
+    if k not in _F64_INITS:
+        import jax
+        import jax.numpy as jnp
+
+        from slam_decomposition_tpu.ops.kak_batch import make_analytic_init
+
+        cpu = jax.devices("cpu")[0]
+        raw = make_analytic_init(k, dtype=jnp.float64)
+
+        def run(Us: np.ndarray) -> np.ndarray:
+            n = len(Us)
+            pad = -(-n // _CHUNK) * _CHUNK - n
+            if pad:
+                Us = np.concatenate([Us, np.repeat(Us[:1], pad, axis=0)])
+            with jax.default_device(cpu):
+                x = raw(
+                    jnp.asarray(Us.real, jnp.float64),
+                    jnp.asarray(Us.imag, jnp.float64),
+                )
+            return np.asarray(x)[:n]
+
+        _F64_INITS[k] = run
+    return _F64_INITS[k]
 
 
 def _u3_np(theta: float, phi: float, lam: float) -> np.ndarray:
@@ -152,7 +185,7 @@ def sqiswap_decompose_batch(
     B = len(Us)
     counts = np.atleast_1d(sqiswap_count_batch(Us))
     results: List = [None] * B
-    n_device = n_fallback = 0
+    n_device = n_fallback = n_rescued = 0
 
     trivial_idx = np.where(counts <= 1)[0]
     zeros = trivial_idx[counts[trivial_idx] == 0]
@@ -183,19 +216,41 @@ def sqiswap_decompose_batch(
         got = jax.device_get(futs)
         xs = np.concatenate([x for x, _ in got])[: len(idx)]
         losses = np.concatenate([l for _, l in got])[: len(idx)]
+        miss = []
         for j, i in enumerate(idx):
             steps = None
             if losses[j] <= atol:
                 steps = _params_to_steps(xs[j], k, Us[i], atol)
             if steps is None:
-                results[i] = sqiswap_decompose(Us[i])
-                n_fallback += 1
+                miss.append(i)
             else:
                 results[i] = (steps, k)
                 n_device += 1
+        if miss:
+            # tier 2: one vectorized true-f64 analytic synthesis (CPU
+            # backend) over every miss lane — no root merging, no polish
+            # needed; the per-block exact host routine is tier 3
+            miss_arr = np.asarray(miss)
+            xs64 = _init_f64(k)(Us[miss_arr])
+            for x64, i in zip(xs64, miss_arr):
+                steps = (
+                    None
+                    if not np.all(np.isfinite(x64))
+                    else _params_to_steps(x64, k, Us[i], atol)
+                )
+                if steps is None:
+                    results[i] = sqiswap_decompose(Us[i])
+                    n_fallback += 1
+                else:
+                    results[i] = (steps, k)
+                    n_device += 1
+                    n_rescued += 1
 
     if stats is not None:
         stats["device"] = n_device
         stats["fallback"] = n_fallback
         stats["trivial"] = len(trivial_idx)
+        # f64-CPU rescues are a subset of "device" (batched path, not the
+        # serial host fallback); device + fallback + trivial == B holds
+        stats["f64_rescue"] = n_rescued
     return results

@@ -16,5 +16,8 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# SLAM_TPU_TESTS=1 skips the CPU pin so the TPU-gated device-path tests
+# (test_pallas, test_device_paths, ...) can run on the real chip
+if os.environ.get("SLAM_TPU_TESTS", "") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -52,6 +52,12 @@ def _xla_adam(a, iters):
     return jax.jit(jax.vmap(adam_one))
 
 
+@pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode parity vs the XLA scan is the CPU CI check; "
+    "on-chip the COMPILED kernel is what runs and is covered by "
+    "test_lm_chain/test_polish_chain below + the e2e bench",
+)
 def test_adam_chain_matches_xla_scan():
     a = build_ansatz(cycle_gates([gates.SQISWAP], K))
     assert a.chain_gates is not None and a.chain_gates.shape == (K, 4, 4)
