@@ -323,7 +323,7 @@ def gate_set_to_coverage(
     *gates: Gate,
     cost_1q: float = 0.0,
     bare_cost: bool = True,
-    max_layers: int = 10,
+    max_layers: Optional[int] = None,
     use_cache: bool = True,
     smush: bool = False,
     volume_fn=None,
@@ -335,6 +335,14 @@ def gate_set_to_coverage(
     build_coverage_set role). Stops when the union covers the full alcove
     (checked exactly via polytope containment of the alcove chunks, falling
     back to Haar-volume saturation when ``volume_fn`` is given).
+
+    ``max_layers=None`` (default) builds until complete, like the
+    reference's build_coverage_set (128-layer runaway guard — a pi/128
+    gate is far weaker than anything in the design space). An EXPLICIT
+    cap may return an incomplete set (wanted e.g. by the SYC counting
+    decomposer); such sets are never cached. The old default of 10
+    silently truncated weak bases — an iSwap^(1/7) set lost SWAP's k=11
+    layer, failing family extension over fractional gates.
     """
     names = [str(g) for g in gates]
     cache = _coverage_cache_path(names, smush)
@@ -367,7 +375,8 @@ def gate_set_to_coverage(
         counter += 1
     built: Dict[Tuple[str, ...], Polytope] = {(): IDENTITY_POLYTOPE}
 
-    while frontier and len(out) <= max_layers:
+    cap = 128 if max_layers is None else max_layers
+    while frontier and len(out) <= cap:
         cost, _, seq, _ = heapq.heappop(frontier)
         prefix = tuple(seq[:-1])
         parent = built.get(prefix)
@@ -726,16 +735,23 @@ def monodromy_ranges_batch(
         cp.contains_float(np.zeros((1, 3)))  # build row cache
         for ineq, eq in cp._float_rows:
             ok = np.ones((len(todo), 2), dtype=bool)
+            # tolerance scales with the row's coefficient magnitude:
+            # Fourier-Motzkin rows carry un-normalized integer
+            # coefficients, so a target exactly ON a face (e.g. CX for an
+            # iSwap^(1/7) basis at k=7) has residual ~|row| * eps, which
+            # an absolute 1e-8 can reject while the exact path accepts
             if len(ineq):
                 vals = ineq[:, 0][None, None, :] + np.einsum(
                     "mrk,jk->mrj", pts, ineq[:, 1:]
                 )
-                ok &= (vals >= -tol).all(axis=2)
+                row_tol = tol * np.maximum(np.abs(ineq).max(axis=1), 1.0)
+                ok &= (vals >= -row_tol[None, None, :]).all(axis=2)
             if len(eq):
                 vals = eq[:, 0][None, None, :] + np.einsum(
                     "mrk,jk->mrj", pts, eq[:, 1:]
                 )
-                ok &= (np.abs(vals) <= tol).all(axis=2)
+                row_tol = tol * np.maximum(np.abs(eq).max(axis=1), 1.0)
+                ok &= (np.abs(vals) <= row_tol[None, None, :]).all(axis=2)
             member |= ok.any(axis=1)
         hit = todo[member]
         assigned[hit] = 1

@@ -45,6 +45,22 @@ def _cached_template(key: str, factory):
     return _TEMPLATE_CACHE[key]
 
 
+def _accel_solve(solve, n_blocks: int, *args):
+    """Run a jitted batch solve on the accelerator for >=64-block groups,
+    pinned to host otherwise. The certified fidelity-faithful fits
+    previously ALWAYS ran under jax.default_device(cpu); large groups now
+    ride the same device engine as transpile/batch_synth (Pallas chain
+    kernels when the ansatz is a constant 2Q chain, XLA elsewhere), while
+    small groups and CPU backends keep the host path — compiling a fresh
+    batch executable there costs more than it saves."""
+    import jax
+
+    if n_blocks >= 64 and jax.default_backend() != "cpu":
+        return solve(*args)
+    with jax.default_device(jax.devices("cpu")[0]):
+        return solve(*args)
+
+
 # ----------------------------------------------------------------- analysis
 
 
@@ -174,14 +190,15 @@ def fit_substituted_1q(
         ansatz = build_ansatz(gate_seq)
         import jax
 
-        solve = jax.jit(make_solver(ansatz.eval_fn, ansatz.n_params))
+        solve = jax.jit(make_solver(
+            ansatz.eval_fn, ansatz.n_params, chain_gates=ansatz.chain_gates
+        ))
         B, R = len(idxs), restarts
         tgts = cplx.from_numpy(np.stack([blocks[i].unitary for i in idxs]))
         x0s = jnp.asarray(
             rng.uniform(0, 2 * np.pi, (B, R, ansatz.n_params))
         )
-        with jax.default_device(jax.devices("cpu")[0]):
-            xs, fs = solve(x0s, tgts)
+        xs, fs = _accel_solve(solve, B, x0s, tgts)
         xs, fs = np.asarray(xs), np.asarray(fs)
         bad = fs > threshold
         if bad.any():
@@ -474,8 +491,7 @@ def fit_substituted_pd(
         x0 = rng.uniform(-2 * np.pi, 2 * np.pi, (B, R, n_params))
         for j, i in enumerate(idxs):
             x0[j, :, :m] = plans[i]
-        with jax.default_device(jax.devices("cpu")[0]):
-            xs, fs = solve(jnp.asarray(x0), tgts)
+        xs, fs = _accel_solve(solve, B, jnp.asarray(x0), tgts)
         xs, fs = np.asarray(xs), np.asarray(fs)
         # --- stage 2: exact outer locals by KAK sandwich of the fitted
         # core, giving a near-converged FULL parameterization...
@@ -514,8 +530,7 @@ def fit_substituted_pd(
             x_full[j, n_core + 9 : n_core + 12] = su2.u3_angles(B2)
         # --- stage 3: ...which a short f64 LM (phase residual) contracts
         # quadratically to certification depth.
-        with jax.default_device(jax.devices("cpu")[0]):
-            x_pol = np.array(polish(jnp.asarray(x_full), tgts))
+        x_pol = np.array(_accel_solve(polish, B, jnp.asarray(x_full), tgts))
         # rescue: lanes still failing get one direct full-parameter solve
         # (phase residual, fresh restarts) — best of the two results wins
         infids = []
@@ -536,8 +551,7 @@ def fit_substituted_pd(
             for jj, j in enumerate(fail):
                 rx0[jj, :, :m] = plans[idxs[j]]
                 rx0[jj, 0] = x_pol[j]  # restart 0: the polished seed
-            with jax.default_device(jax.devices("cpu")[0]):
-                rxs, rfs = rescue(jnp.asarray(rx0), rt)
+            rxs, rfs = _accel_solve(rescue, len(fail), jnp.asarray(rx0), rt)
             rxs = np.asarray(rxs)
             for jj, j in enumerate(fail):
                 V = cplx.to_numpy(full_fn(jnp.asarray(rxs[jj])))
@@ -606,8 +620,7 @@ def fit_substituted_pd(
         x0 = jnp.asarray(
             rng.uniform(0, 2 * np.pi, (len(_exact_fallback), restarts, a.n_params))
         )
-        with jax.default_device(jax.devices("cpu")[0]):
-            xs, fs = solve(x0, tgts)
+        xs, fs = _accel_solve(solve, len(_exact_fallback), x0, tgts)
         xs, fs = np.asarray(xs), np.asarray(fs)
         n_rescued = 0
         for j, i in enumerate(_exact_fallback):

@@ -375,14 +375,23 @@ def route(
     rows_cols: Optional[Tuple[int, int]] = None,
     score_fn=None,
     return_layouts: bool = False,
+    configs: Optional[Sequence[Tuple[bool, float, bool]]] = None,
+    reschedule: bool = True,
 ) -> Circuit:
     """Route ``circ`` onto the coupling graph, trying several initial
     layouts (snake, trivial, random) and keeping the best result.
 
-    ``score_fn(circuit) -> float`` ranks results (default: 2Q-op count,
-    i.e. fewest inserted swaps). With ``return_layouts`` the winning
+    ``score_fn(circuit) -> float`` ranks results (default: the
+    basic-pipeline duration proxy). With ``return_layouts`` the winning
     trial's (routed, initial, final) logical->physical layouts come back —
-    needed to verify unitary equivalence modulo the tracked permutation."""
+    needed to verify unitary equivalence modulo the tracked permutation.
+
+    ``configs``: (relax, depth_w, swap_busy) SABRE variants to arbitrate
+    (default: the full round-2 set). ``configs=[(False, 0.0, False)]``
+    with ``score_fn=swap count`` and ``reschedule=False`` reproduces the
+    round-1 swap-greedy chain-DAG router — used by
+    scripts/fidelity_attribution.py to attribute headline fidelity-gain
+    deltas to the router."""
     n = circ.n_qubits
     n_phys = max(max(e) for e in edges) + 1
     if n > n_phys:
@@ -415,11 +424,11 @@ def route(
         # depth_w=0 never reads the busy-until map, so swap_busy is
         # irrelevant there — try both accountings only for the depth-aware
         # configs (see the swap_busy note in _sabre_once)
-        for relax, depth_w, swap_busy in (
+        for relax, depth_w, swap_busy in (configs if configs is not None else (
             (True, 0.35, True), (False, 0.35, True),
             (True, 0.35, False), (False, 0.35, False),
             (True, 0.0, True), (False, 0.0, True),
-        ):
+        )):
             cur = list(lay)
             for _ in range(2):
                 fl: List[int] = []
@@ -434,7 +443,8 @@ def route(
                                      depth_w=depth_w, swap_busy=swap_busy)
                 # fix the emission order: swap-greedy routing may emit
                 # commuting siblings ahead of critical-chain gates
-                routed = schedule_for_duration(routed)
+                if reschedule:
+                    routed = schedule_for_duration(routed)
                 s = score_fn(routed)
                 if best is None or s < best[0]:
                     best = (s, routed, init, list(fl))
