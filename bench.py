@@ -184,13 +184,38 @@ def main():
     T_w = cplx.from_numpy(haar_sample(n_w, seed=123))
     T = cplx.from_numpy(haar_sample(B, seed=456))
 
+    # The two warmup stages were serial in round 2 (ks 368 s, then solve
+    # 353 s — each dominated by remote compile / cache deserialization,
+    # which release the GIL). They compile INDEPENDENT executables, so
+    # overlap them: the ks warmup runs in a thread while the solver
+    # warmup runs on synthetic ks (half k=2, half k=3 — warms both
+    # solver shapes without waiting for real ranges). Total warmup drops
+    # from the sum toward the max of the two compile chains; only the
+    # Python trace portions still serialize on the GIL.
     t0 = time.time()
+    ks_box: dict = {}
+
+    def _warm_ks():
+        t1 = time.time()
+        try:
+            ks_box["ks"] = np.maximum(monodromy_ks_batch(coverage, T_w), 2)
+            ks_box["dt"] = time.time() - t1
+        except BaseException as e:  # propagate into the main thread
+            ks_box["err"] = e
+
+    import threading
+
+    th = threading.Thread(target=_warm_ks)
+    th.start()
     t1 = time.time()
-    ks_w = np.maximum(monodromy_ks_batch(coverage, T_w), 2)
-    print(f"# warmup/ks first call: {time.time() - t1:.1f}s", file=sys.stderr)
-    t1 = time.time()
-    run(T_w, n_w, jax.random.PRNGKey(0), s2, a2, s3, a3, ks_w)
+    ks_fake = np.where(np.arange(n_w) % 2 == 0, 2, 3)
+    run(T_w, n_w, jax.random.PRNGKey(0), s2, a2, s3, a3, ks_fake)
     print(f"# warmup/solve first pass: {time.time() - t1:.1f}s", file=sys.stderr)
+    th.join()
+    if "err" in ks_box:
+        raise ks_box["err"]
+    print(f"# warmup/ks first call (overlapped): {ks_box['dt']:.1f}s",
+          file=sys.stderr)
     print(f"# warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
