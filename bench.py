@@ -33,9 +33,24 @@ exclusion is stated next to the headline number in README.md. B=100k is
 the default because at 10k the ~0.3 s timed region is dominated by fixed
 per-dispatch tunnel latency rather than device throughput.
 
+Warmup protocol (the invariant whose violation caused the 21x BENCH_r03
+regression — VERDICT r3, weak #1): EVERY executable shape the timed
+region can dispatch is compiled before the clock starts. Two layers of
+defense:
+  1. an explicit AOT warm plan (utils/warmup.warm_all) listing every
+     shape — the two solver chunks, the tier-1 ks kernel at its chunk
+     plan, the mixed-precision ks escalation at its single SMALL shape —
+     traced serially on the 1-core host and compiled in background
+     threads (compile releases the GIL, so compiles overlap the
+     remaining traces instead of serializing after them);
+  2. a full-B rehearsal of the ENTIRE pipeline on a disjoint warmup set,
+     which executes the exact steady-state dispatch sequence; any shape
+     the plan missed compiles here, outside the timed region, and is
+     reported via the dispatchers' fallback counters.
+
 Env knobs: BENCH_MESH=0 falls back to the plain (non-shard_map) jit
-solver; BENCH_MFU=1 additionally prints the FLOPs/MFU roofline line
-(see _mfu_report).
+solver; BENCH_MFU=0 suppresses the FLOPs/MFU roofline line (default on,
+so driver-recorded artifacts carry the measured MFU).
 """
 
 import json
@@ -74,6 +89,8 @@ USE_MESH = os.environ.get("BENCH_MESH", "1") == "1"
 
 
 def build(k):
+    from slam_decomposition_tpu.utils.warmup import ShapeDispatcher
+
     a = build_ansatz(cycle_gates([gates.SQISWAP], k))
     if USE_MESH:
         # production path == mesh path (round-2 VERDICT item 4): the same
@@ -99,7 +116,7 @@ def build(k):
         solver = jax.jit(
             make_solver(a.eval_fn, a.n_params, chain_gates=a.chain_gates)
         )
-    return solver, a
+    return ShapeDispatcher(solver), a
 
 
 def launch_bucket(T, idx, solver, ansatz, key):
@@ -166,8 +183,11 @@ def run(T, n_targets, key, s2, a2, s3, a3, ks):
 def main():
     from slam_decomposition_tpu.coverage.coverage import (
         gate_set_to_coverage,
+        ks_dispatchers,
+        ks_warm_plan,
         monodromy_ks_batch,
     )
+    from slam_decomposition_tpu.utils.warmup import warm_all
 
     t0 = time.time()
     s2, a2 = build(2)
@@ -176,46 +196,55 @@ def main():
     print(f"# warmup/build+coverage: {time.time() - t0:.1f}s", file=sys.stderr)
 
     # upload each target set ONCE; ranges and every solve chunk gather
-    # from the device-resident pair. The warmup set needs only ONE chunk
-    # of each executable shape (ks: 8192-chunk + escalations; solve: one
-    # k=2 and one k=3 chunk), so it is a single CHUNK, not a full B —
-    # warm-up execution time is ~0.5 s; what remains is trace + compile.
-    n_w = min(B, CHUNK)
-    T_w = cplx.from_numpy(haar_sample(n_w, seed=123))
+    # from the device-resident pair. The rehearsal set is FULL-B (not one
+    # chunk as in round 3): warmup must execute the exact steady-state
+    # dispatch sequence, and the chunk plan (incl. the escalation set
+    # size) depends on B.
+    T_w = cplx.from_numpy(haar_sample(B, seed=123))
     T = cplx.from_numpy(haar_sample(B, seed=456))
 
-    # The two warmup stages were serial in round 2 (ks 368 s, then solve
-    # 353 s — each dominated by remote compile / cache deserialization,
-    # which release the GIL). They compile INDEPENDENT executables, so
-    # overlap them: the ks warmup runs in a thread while the solver
-    # warmup runs on synthetic ks (half k=2, half k=3 — warms both
-    # solver shapes without waiting for real ranges). Total warmup drops
-    # from the sum toward the max of the two compile chains; only the
-    # Python trace portions still serialize on the GIL.
+    # --- warmup stage 1: explicit AOT warm of every dispatch shape.
+    # Traces run serially on the main thread (GIL-bound either way on
+    # this 1-core host); each lowered artifact compiles in a background
+    # thread (compile/cache-deserialize release the GIL). Longest-compile
+    # first, so the big solver compiles overlap the remaining traces.
     t0 = time.time()
-    ks_box: dict = {}
+    plan = []
+    for s, a in ((s3, a3), (s2, a2)):
+        x0 = jnp.zeros((CHUNK, RESTARTS, a.n_params), dtype=jnp.float64)
+        z = jnp.zeros((CHUNK, 4, 4), dtype=jnp.float64)
+        plan.append((s, (x0, (z, z))))
+    plan += ks_warm_plan(coverage, B)
+    warm_all(
+        plan,
+        max_workers=2,
+        log=lambda m: print(f"# warmup/{m}", file=sys.stderr),
+    )
+    print(f"# warmup/trace+compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    def _warm_ks():
-        t1 = time.time()
-        try:
-            ks_box["ks"] = np.maximum(monodromy_ks_batch(coverage, T_w), 2)
-            ks_box["dt"] = time.time() - t1
-        except BaseException as e:  # propagate into the main thread
-            ks_box["err"] = e
-
-    import threading
-
-    th = threading.Thread(target=_warm_ks)
-    th.start()
+    # --- warmup stage 2: full-pipeline rehearsal at the measured size on
+    # a disjoint target set. Pure execution (~1-2 s) when stage 1 covered
+    # everything; any missed shape compiles HERE, outside the timed
+    # region, and shows up in the fallback counters below.
     t1 = time.time()
-    ks_fake = np.where(np.arange(n_w) % 2 == 0, 2, 3)
-    run(T_w, n_w, jax.random.PRNGKey(0), s2, a2, s3, a3, ks_fake)
-    print(f"# warmup/solve first pass: {time.time() - t1:.1f}s", file=sys.stderr)
-    th.join()
-    if "err" in ks_box:
-        raise ks_box["err"]
-    print(f"# warmup/ks first call (overlapped): {ks_box['dt']:.1f}s",
-          file=sys.stderr)
+    ks_w = np.maximum(monodromy_ks_batch(coverage, T_w), 2)
+    run(T_w, B, jax.random.PRNGKey(0), s2, a2, s3, a3, ks_w)
+    fn32, fn_mixed, _ = ks_dispatchers(coverage)
+    fallbacks = sum(
+        d.fallback_calls for d in (s2, s3, fn32, fn_mixed)
+    )
+    print(
+        f"# warmup/rehearsal: {time.time() - t1:.1f}s "
+        f"(un-warmed shape dispatches: {fallbacks})",
+        file=sys.stderr,
+    )
+    if fallbacks:
+        print(
+            "# warmup WARNING: the AOT warm plan missed shapes that the "
+            "rehearsal compiled via the jit fallback — timed region is "
+            "still warm, but update ks_warm_plan/bench warm plan",
+            file=sys.stderr,
+        )
     print(f"# warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
@@ -232,7 +261,7 @@ def main():
         f"worst loss {float(losses.max()):.2e}",
         file=sys.stderr,
     )
-    if os.environ.get("BENCH_MFU", "") == "1":
+    if os.environ.get("BENCH_MFU", "1") == "1":
         from slam_decomposition_tpu.utils.mfu import mfu_report
 
         mfu_report(B, dt, t_ranges, ks, RESTARTS, file=sys.stderr)

@@ -11,9 +11,10 @@ Usage: python scripts/parity_diagnostics.py [circuit ...]
 """
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -10,12 +10,13 @@ Usage: python scripts/profile_solver.py [B] [k]
 Writes docs/profile_solver.md (appends a dated section) and prints a table.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -10,10 +10,11 @@ device coordinates against the pinned-CPU f64 path.
 Run in the default (TPU) env: python scripts/qft64_pass_timing.py
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

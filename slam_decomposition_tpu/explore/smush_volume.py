@@ -40,27 +40,16 @@ NAMED_GATES = {
 DURATION_1Q = 0.25  # parallel_drive_volume.py:82
 
 
-def sample_smush_coords(
-    gc: float,
-    gg: float,
-    t: float,
-    k: int,
-    n_samples: int = 3000,
-    seed: int = 0,
-    drive_bound: float = 4 * np.pi,
-):
-    """Weyl coordinates of n_samples random parallel-driven k-cycle
-    circuits, evaluated as one device batch. Returns (n, 3) array."""
-    import jax
-    import jax.numpy as jnp
-
+def _smush_eval(gc: float, gg: float, t: float, k: int):
+    """(eval_one, n_params) for a k-cycle parallel-driven template: per
+    cycle phi_c, phi_g, gx[n_slices], gy[n_slices]; interior 1q layers
+    between cycles (no exterior, parallel_drive_volume.py:192-198).
+    Shared by the Monte-Carlo sampler and the targeted vertex descent."""
     from slam_decomposition_tpu.models.hamiltonians import smush_u
     from slam_decomposition_tpu.models.templates import _layer_1q
-    from slam_decomposition_tpu.ops import cplx, weyl
+    from slam_decomposition_tpu.ops import cplx
 
     n_slices = max(int(round(t / DURATION_1Q)), 1)
-    # per cycle: phi_c, phi_g, gx[n_slices], gy[n_slices]; interior 1q
-    # layers between cycles (no exterior, parallel_drive_volume.py:192-198)
     per_cycle = 2 + 2 * n_slices
     n_1q = max(k - 1, 0) * 6
     n_params = k * per_cycle + n_1q
@@ -81,6 +70,27 @@ def sample_smush_coords(
                 U = cplx.matmul(Gm, cplx.matmul(L, U))
         return U
 
+    return eval_one, n_params
+
+
+def sample_smush_coords(
+    gc: float,
+    gg: float,
+    t: float,
+    k: int,
+    n_samples: int = 3000,
+    seed: int = 0,
+    drive_bound: float = 4 * np.pi,
+):
+    """Weyl coordinates of n_samples random parallel-driven k-cycle
+    circuits, evaluated as one device batch. Returns (n, 3) array."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_decomposition_tpu.ops import weyl
+
+    eval_one, n_params = _smush_eval(gc, gg, t, k)
+
     def coords_of(x):
         return weyl.c1c2c3(eval_one(x))
 
@@ -90,6 +100,93 @@ def sample_smush_coords(
         minval=-drive_bound, maxval=drive_bound,
     )
     return np.asarray(jax.jit(jax.vmap(coords_of))(xs))
+
+
+def _vertex_targets():
+    """The reference's targeted-search vertex list
+    (parallel_drive_volume.py:234-241): CPhase(0)=identity, CX, SWAP,
+    iSwap, CAN(pi/4, pi/8, pi/8)."""
+    return [
+        np.eye(4, dtype=complex),
+        G.CNOT.to_numpy(),
+        G.SWAP.to_numpy(),
+        G.ISWAP.to_numpy(),
+        G.canonical(np.pi / 4, np.pi / 8, np.pi / 8).to_numpy(),
+    ]
+
+
+def targeted_smush_coords(
+    gc: float,
+    gg: float,
+    t: float,
+    k: int,
+    restarts: int = 6,
+    iters: int = 250,
+    seed: int = 0,
+    lr: float = 0.08,
+    drive_bound: float = 4 * np.pi,
+) -> np.ndarray:
+    """Weyl coordinates of EVERY iterate of Adam descents toward the Weyl
+    chamber vertices — the reference's targeted-optimizer extension of the
+    Monte-Carlo cloud ("every point we hit along the way is a new point",
+    parallel_drive_volume.py:229-286). Random sampling concentrates near
+    the chamber interior, so the cloud's hull undershoots at the extremes
+    (CX/SWAP far from the k=1 reachable bulk); descending toward the
+    vertices drags trajectories through exactly those frontier regions.
+
+    TPU redesign: where the reference ran scipy per vertex with a
+    trajectory callback, all (vertex x restart) descents run as ONE
+    vmapped lax.scan with exact autodiff gradients of the Makhlin-distance
+    objective (locally invariant, so no exterior-1Q fitting is needed);
+    the scan emits c1c2c3 of every iterate. Returns
+    (n_vertices * restarts * (iters+1), 3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slam_decomposition_tpu.opt.costs import makhlin_euclidean_cost
+    from slam_decomposition_tpu.ops import cplx, weyl
+
+    eval_one, n_params = _smush_eval(gc, gg, t, k)
+    targets = np.stack(_vertex_targets())
+    V = cplx.from_numpy(targets)  # (nv, 4, 4) pair
+
+    def cost(x, v0, v1):
+        return makhlin_euclidean_cost(eval_one(x), (v0, v1))
+
+    grad = jax.grad(cost)
+
+    def descend(x0, v0, v1):
+        def step(carry, _):
+            x, m, v, i = carry
+            g = grad(x, v0, v1)
+            m2 = 0.9 * m + 0.1 * g
+            v2 = 0.999 * v + 0.001 * g * g
+            mh = m2 / (1 - 0.9 ** (i + 1))
+            vh = v2 / (1 - 0.999 ** (i + 1))
+            x2 = x - lr * mh / (jnp.sqrt(vh) + 1e-8)
+            return (x2, m2, v2, i + 1), weyl.c1c2c3(eval_one(x2))
+
+        z = jnp.zeros_like(x0)
+        (_, _, _, _), cs = jax.lax.scan(
+            step, (x0, z, z, 0), None, length=iters
+        )
+        return jnp.concatenate([weyl.c1c2c3(eval_one(x0))[None], cs])
+
+    nv = len(targets)
+    key = jax.random.PRNGKey(seed)
+    x0s = jax.random.uniform(
+        key, (nv, restarts, n_params), dtype=jnp.float64,
+        minval=-drive_bound, maxval=drive_bound,
+    )
+    f = jax.jit(
+        jax.vmap(
+            jax.vmap(descend, in_axes=(0, None, None)),
+            in_axes=(0, 0, 0),
+        )
+    )
+    cs = np.asarray(f(x0s, V[0], V[1]))  # (nv, R, iters+1, 3)
+    return cs.reshape(-1, 3)
 
 
 def rational_hull(points: np.ndarray):
@@ -130,6 +227,7 @@ def extend_coverage(
     n_samples: int = 3000,
     seed: int = 7,
     save: bool = True,
+    targeted: bool = True,
 ) -> Dict[str, list]:
     """Full pipeline for one named gate; returns the per-k results dict
     [base_vol, extended_vol, cnot, swap, b] and saves the smush coverage
@@ -170,6 +268,13 @@ def extend_coverage(
             base_vol = ext_vol = 1.0
         else:
             cloud.append(sample_smush_coords(gc, gg, t, k, n_samples, seed + k))
+            if targeted:
+                # targeted vertex descents extend the cloud through the
+                # frontier regions random sampling misses
+                # (parallel_drive_volume.py:229-286); k=1 is where the
+                # paper's parallel-driving claim lives and where the
+                # MC-only hull undershoots the published volumes
+                cloud.append(targeted_smush_coords(gc, gg, t, k, seed=seed + 100 + k))
             coords = np.concatenate(cloud)
             # mirror both sides (parallel_drive_volume.py:296-307)
             left = coords.copy()

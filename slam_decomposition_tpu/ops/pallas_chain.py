@@ -150,38 +150,51 @@ def _phase_residual_tiles(xs, T, Gs, k, n_params):
 
 
 def _jacobian_tiles(res, x, n):
-    """J (n, 32, S, L): columns of the residual Jacobian w.r.t. the n
-    per-lane parameters.
+    """J: list of n (32, S, L) columns of the residual Jacobian w.r.t. the
+    n per-lane parameters.
 
-    Linearize ``res`` ONCE at x and apply the resulting linear map to all n
-    one-hot tangents under vmap — the traced program contains ~3 chain
-    evaluations (primal + linear + its batched copy) instead of the n
-    spliced chains the previous per-parameter ``jax.jvp`` unrolling
-    produced. That unrolling was the round-2 warm-up bottleneck: ~200 s of
-    single-core host tracing across the solver shapes (ROUND2_NOTES.md
-    "Warm-up"). Compiled code is equivalent (same JVP arithmetic, batched).
+    Linearize ``res`` ONCE at x, then apply the linear map to n CONSTANT
+    one-hot tangents, unrolled. Two deliberate choices:
+
+    * linearize-once (not n ``jax.jvp`` calls): the linear jaxpr is
+      ~primal-sized, so tracing splices n linear chains instead of n full
+      forward+tangent chains — about half the round-2 warm-up tracing
+      cost (ROUND2_NOTES.md "Warm-up").
+    * UNROLLED constant tangents (not a vmapped runtime eye): with a
+      compile-time one-hot, XLA folds the zero-multiplies per column —
+      column p only pays the chain downstream of parameter p's layer. The
+      round-3 vmapped-iota variant defeated that folding (every tangent
+      paid the full linear chain) and cost ~25-35% of steady-state solve
+      throughput on the chip (BENCH r3/r4 A/B: plain-solver solve stage
+      1.0 s -> 1.37 s at B=100k).
     """
     _, lin = jax.linearize(res, x)
-    S, L = x.shape[1], x.shape[2]
-    # one-hot tangents via int32 iota: jnp.eye builds an int64 iota under
-    # x64, which Mosaic rejects (vector bitwidth > 32; bisected
-    # 2026-08-20), and pallas kernels cannot capture array constants
-    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n, S, L), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n, S, L), 1)
-    eye = (ii == jj).astype(x.dtype)
-    return jax.vmap(lambda e: jnp.stack(lin(e)))(eye)
+    one = jnp.ones_like(x[:1])
+    zero = jnp.zeros_like(x[:1])
+    cols = []
+    for p in range(n):
+        # unit tangent by concatenation (scatter doesn't lower on Mosaic)
+        e = jnp.concatenate([zero] * p + [one] + [zero] * (n - p - 1), axis=0)
+        cols.append(jnp.stack(lin(e)))  # (32, S, L)
+    return cols
 
 
 def _normal_eq(J, r, n):
-    """A = J J^T (n, n, S, L) and g = J r (n, S, L) from J (n, 32, S, L),
-    contracting the 32 residual components one at a time — the full outer
-    product (n, n, 32, S, L) would be ~75 MB of VMEM at k=3."""
-    A = None
-    for c in range(J.shape[1]):
-        Jc = J[:, c]
-        term = Jc[:, None] * Jc[None, :]
-        A = term if A is None else A + term
-    g = (J * r[None]).sum(axis=1)
+    """A = J J^T (n, n, S, L) and g = J r (n, S, L) from the n Jacobian
+    columns, exploiting symmetry (only the upper triangle is computed —
+    the round-3 full outer product doubled the A flops and peaked two
+    (n, n, S, L) temporaries at once in VMEM)."""
+    rows = []
+    for i in range(n):
+        row = []
+        for j in range(n):
+            if j < i:
+                row.append(rows[j][i])
+            else:
+                row.append((J[i] * J[j]).sum(axis=0))
+        rows.append(row)
+    A = jnp.stack([jnp.stack(row) for row in rows])  # (n, n, S, L)
+    g = jnp.stack([(J[i] * r).sum(axis=0) for i in range(n)])
     return A, g
 
 

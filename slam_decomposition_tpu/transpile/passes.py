@@ -45,17 +45,29 @@ def _cached_template(key: str, factory):
     return _TEMPLATE_CACHE[key]
 
 
-def _accel_solve(solve, n_blocks: int, *args):
-    """Run a jitted batch solve on the accelerator for >=64-block groups,
-    pinned to host otherwise. The certified fidelity-faithful fits
-    previously ALWAYS ran under jax.default_device(cpu); large groups now
-    ride the same device engine as transpile/batch_synth (Pallas chain
-    kernels when the ansatz is a constant 2Q chain, XLA elsewhere), while
-    small groups and CPU backends keep the host path — compiling a fresh
-    batch executable there costs more than it saves."""
+def _use_accel(n_blocks: int) -> bool:
+    """Accelerator-vs-host policy for batch fits: >=64-block groups ride
+    the accelerator; smaller groups (and CPU backends) stay host-pinned —
+    compiling a fresh batch executable there costs more than it saves.
+    Callers that build their solver with Pallas chain kernels
+    (``chain_gates=...``) MUST consult this BEFORE make_solver: a Pallas
+    TPU pallas_call cannot lower for the host-pinned CPU device, so a
+    kernel-bearing solver dispatched under the host pin crashes at
+    compile time (advisor r3, high)."""
     import jax
 
-    if n_blocks >= 64 and jax.default_backend() != "cpu":
+    return n_blocks >= 64 and jax.default_backend() != "cpu"
+
+
+def _accel_solve(solve, n_blocks: int, *args):
+    """Run a jitted batch solve per the :func:`_use_accel` policy. The
+    certified fidelity-faithful fits previously ALWAYS ran under
+    jax.default_device(cpu); large groups now ride the same device engine
+    as transpile/batch_synth (Pallas chain kernels when the caller built
+    the solver with them, XLA elsewhere)."""
+    import jax
+
+    if _use_accel(n_blocks):
         return solve(*args)
     with jax.default_device(jax.devices("cpu")[0]):
         return solve(*args)
@@ -190,10 +202,15 @@ def fit_substituted_1q(
         ansatz = build_ansatz(gate_seq)
         import jax
 
-        solve = jax.jit(make_solver(
-            ansatz.eval_fn, ansatz.n_params, chain_gates=ansatz.chain_gates
-        ))
         B, R = len(idxs), restarts
+        # engage the Pallas chain kernels only when this group will
+        # actually run on the accelerator: _accel_solve host-pins small
+        # groups, where a TPU pallas_call cannot lower (advisor r3, high)
+        solve = jax.jit(make_solver(
+            ansatz.eval_fn,
+            ansatz.n_params,
+            chain_gates=ansatz.chain_gates if _use_accel(B) else None,
+        ))
         tgts = cplx.from_numpy(np.stack([blocks[i].unitary for i in idxs]))
         x0s = jnp.asarray(
             rng.uniform(0, 2 * np.pi, (B, R, ansatz.n_params))
