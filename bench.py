@@ -85,7 +85,15 @@ CHUNK = _argv_int(2, 10_000)
 RESTARTS = 4
 THRESH = 1e-10
 NORTH_STAR_RATE = 10_000 / 60.0
-USE_MESH = os.environ.get("BENCH_MESH", "1") == "1"
+# Default: plain jit solver. Same-session A/B on the chip at B=100k
+# (docs/ROUND4_NOTES.md): plain 65.6k targets/s / 194.6 s warmup vs
+# mesh-on-1-device 56.7k / 350.6 s (the shard_map wrapper splits the
+# pipeline into local_solve + gather + polish executables and roughly
+# doubles the trace cost; its solve stage ran 1.41 s vs 1.37 s plain).
+# The multi-chip dryrun still certifies the mesh program every round
+# (__graft_entry__._dryrun_impl, incl. a production-shaped B=2048 chunk);
+# BENCH_MESH=1 opts back in for pod-scale runs where dp>1 pays.
+USE_MESH = os.environ.get("BENCH_MESH", "0") == "1"
 
 
 def build(k):

@@ -72,8 +72,23 @@ print(f"ks ({len(us)}): cold {t_ks_cold:.2f}s warm {t_ks_warm:.3f}s "
 t0 = time.time()
 out = optimized_sqiswap_sub(qc, duration_1q=0.25)
 t_pass = time.time() - t0
-print(f"optimized_sqiswap_sub full pass: {t_pass:.2f}s "
-      f"({len(out.ops)} ops out)")
+t0 = time.time()
+out = optimized_sqiswap_sub(qc, duration_1q=0.25)
+t_pass_w = time.time() - t0
+print(f"optimized_sqiswap_sub full pass: cold {t_pass:.2f}s "
+      f"warm {t_pass_w:.2f}s ({len(out.ops)} ops out)")
+
+# fidelity-faithful variant: fit_substituted_1q/_pd route >=64-block
+# groups through the accelerator (_accel_solve; Pallas chain kernels only
+# for groups that will actually run there — advisor r3 high)
+t0 = time.time()
+out_fit = optimized_sqiswap_sub(qc, duration_1q=0.25, fit_1q=True)
+t_fit = time.time() - t0
+t0 = time.time()
+out_fit = optimized_sqiswap_sub(qc, duration_1q=0.25, fit_1q=True)
+t_fit_w = time.time() - t0
+print(f"optimized_sqiswap_sub fit_1q=True: cold {t_fit:.2f}s "
+      f"warm {t_fit_w:.2f}s ({len(out_fit.ops)} ops out)")
 
 # basic manager: host per-block KAK loop vs one batched device synthesis
 # call per k-class (transpile/batch_synth.py)

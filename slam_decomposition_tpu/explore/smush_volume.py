@@ -80,10 +80,18 @@ def sample_smush_coords(
     k: int,
     n_samples: int = 3000,
     seed: int = 0,
-    drive_bound: float = 4 * np.pi,
+    drive_bound=(np.pi, 2 * np.pi, 4 * np.pi),
 ):
     """Weyl coordinates of n_samples random parallel-driven k-cycle
-    circuits, evaluated as one device batch. Returns (n, 3) array."""
+    circuits, evaluated as one device batch per scale. Returns (n, 3).
+
+    ``drive_bound`` may be a scalar or a tuple of scales; the sample
+    budget splits evenly across scales and the clouds union (every point
+    is a reachable circuit either way). Multi-scale matters: one big
+    bound (the old +-4pi) aliases the drives mod the Trotter slices and
+    undersamples the frontier where moderate drives deform the gate —
+    CNOT k=1's MC hull measured 0.0148 at +-4pi, 0.0329 at +-2pi, 0.0332
+    for the (pi, 2pi, 4pi) union (reference publishes 0.0273)."""
     import jax
     import jax.numpy as jnp
 
@@ -94,12 +102,17 @@ def sample_smush_coords(
     def coords_of(x):
         return weyl.c1c2c3(eval_one(x))
 
-    key = jax.random.PRNGKey(seed)
-    xs = jax.random.uniform(
-        key, (n_samples, n_params), dtype=jnp.float64,
-        minval=-drive_bound, maxval=drive_bound,
-    )
-    return np.asarray(jax.jit(jax.vmap(coords_of))(xs))
+    bounds = np.atleast_1d(np.asarray(drive_bound, dtype=float))
+    per = -(-n_samples // len(bounds))
+    f = jax.jit(jax.vmap(coords_of))
+    out = []
+    for i, b in enumerate(bounds):
+        key = jax.random.PRNGKey(seed + 7919 * i)
+        xs = jax.random.uniform(
+            key, (per, n_params), dtype=jnp.float64, minval=-b, maxval=b
+        )
+        out.append(np.asarray(f(xs)))
+    return np.concatenate(out)[:n_samples]
 
 
 def _vertex_targets():
@@ -292,7 +305,12 @@ def extend_coverage(
             from slam_decomposition_tpu.coverage.haar import mc_volume
 
             base_vol = normalized_volume(bare_cov[k].polytope) if k < len(bare_cov) else 0.0
-            ext_vol = mc_volume(poly)
+            # the extended polytope CONTAINS the bare subpolytopes, so its
+            # true volume is >= the exact base volume; mc_volume's sampling
+            # noise can dip a hair below that bound (e.g. sqB k=3: MC
+            # 0.99577 vs exact base 0.9958104) — clamp to the exact lower
+            # bound rather than report an impossible shrink
+            ext_vol = max(mc_volume(poly), base_vol)
             extended = CircuitPolytope(
                 operations=[name] * k, cost=float(k) * base_gate.cost(), polytope=poly
             )

@@ -109,12 +109,71 @@ def _params_to_steps(x: np.ndarray, k: int, U: np.ndarray, atol: float):
             steps.append(("sqiswap", None))
     V = steps_to_matrix(steps)
     tr = np.trace(V.conj().T @ U)
-    if 1.0 - abs(tr) / 4.0 > atol:
+    # NaN params give a NaN trace; "NaN > atol" is False, so an explicit
+    # finiteness check is required to REJECT (the batch path and the old
+    # call-site isfinite guard agree on this)
+    if not np.isfinite(tr) or 1.0 - abs(tr) / 4.0 > atol:
         return None
     # fold the block's global phase in, exactly like the host path's
     # ("phase", ...) bookkeeping (kak.py:519,544): steps_to_matrix(steps)
     # then reproduces U including phase
     return [("phase", float(np.angle(tr)))] + steps
+
+
+def _u3_np_batch(t, p, l):
+    """(...,) angle arrays -> (..., 2, 2) qiskit-convention U batch."""
+    ct, st = np.cos(t / 2.0), np.sin(t / 2.0)
+    out = np.empty(t.shape + (2, 2), dtype=complex)
+    out[..., 0, 0] = ct
+    out[..., 0, 1] = -np.exp(1j * l) * st
+    out[..., 1, 0] = np.exp(1j * p) * st
+    out[..., 1, 1] = np.exp(1j * (p + l)) * ct
+    return out
+
+
+def _params_to_steps_batch(
+    xs: np.ndarray, k: int, Us: np.ndarray, atol: float
+) -> List:
+    """Vectorized :func:`_params_to_steps` over a whole lane batch: ONE
+    numpy pass builds every lane's u3 layers, chains them ((m,4,4)
+    matmuls, k+1 layers), and certifies all traces at once; step-list
+    emission for passing lanes is pure slicing of the precomputed layer
+    tensors. The per-lane loop (steps_to_matrix per block: ~1.5 ms x
+    ~1700 device lanes on QFT-64) was most of what remained of the warm
+    pass after the f64 rescue tier (docs/device_transpile.md "what
+    remains ... one batched certification einsum and the IR emit loop").
+    Lanes with non-finite params or traces simply fail certification
+    (NaN compares false) and return None."""
+    from slam_decomposition_tpu.transpile.kak import SQISWAP_M
+
+    m = len(xs)
+    if m == 0:
+        return []
+    with np.errstate(invalid="ignore"):
+        x = np.asarray(xs, dtype=float).reshape(m, k + 1, 6)
+        A = _u3_np_batch(x[..., 0], x[..., 1], x[..., 2])  # (m, k+1, 2, 2)
+        Bm = _u3_np_batch(x[..., 3], x[..., 4], x[..., 5])
+        L = np.einsum("mkab,mkcd->mkacbd", A, Bm).reshape(m, k + 1, 4, 4)
+        V = L[:, 0]
+        for layer in range(1, k + 1):
+            V = np.einsum("ij,mjl->mil", SQISWAP_M, V)
+            V = np.einsum("mij,mjl->mil", L[:, layer], V)
+        # tr(V^dag U) per lane, phase folded exactly as _params_to_steps
+        tr = np.einsum("mij,mij->m", np.conj(V), Us)
+        infid = 1.0 - np.abs(tr) / 4.0
+        phases = np.angle(tr)
+    out: List = []
+    for i in range(m):
+        if not (np.isfinite(infid[i]) and infid[i] <= atol):
+            out.append(None)
+            continue
+        steps: List = [("phase", float(phases[i]))]
+        for layer in range(k + 1):
+            steps.append(("1q", (A[i, layer], Bm[i, layer])))
+            if layer < k:
+                steps.append(("sqiswap", None))
+        out.append(steps)
+    return out
 
 
 def _product_steps_batch(Us: np.ndarray, atol: float):
@@ -216,11 +275,12 @@ def sqiswap_decompose_batch(
         got = jax.device_get(futs)
         xs = np.concatenate([x for x, _ in got])[: len(idx)]
         losses = np.concatenate([l for _, l in got])[: len(idx)]
+        # certify + emit the whole k-class in one vectorized pass (the
+        # per-lane steps_to_matrix loop was the warm-pass tail)
+        all_steps = _params_to_steps_batch(xs, k, Us[idx], atol)
         miss = []
         for j, i in enumerate(idx):
-            steps = None
-            if losses[j] <= atol:
-                steps = _params_to_steps(xs[j], k, Us[i], atol)
+            steps = all_steps[j] if losses[j] <= atol else None
             if steps is None:
                 miss.append(i)
             else:
@@ -232,12 +292,8 @@ def sqiswap_decompose_batch(
             # needed; the per-block exact host routine is tier 3
             miss_arr = np.asarray(miss)
             xs64 = _init_f64(k)(Us[miss_arr])
-            for x64, i in zip(xs64, miss_arr):
-                steps = (
-                    None
-                    if not np.all(np.isfinite(x64))
-                    else _params_to_steps(x64, k, Us[i], atol)
-                )
+            rescue_steps = _params_to_steps_batch(xs64, k, Us[miss_arr], atol)
+            for steps, i in zip(rescue_steps, miss_arr):
                 if steps is None:
                     results[i] = sqiswap_decompose(Us[i])
                     n_fallback += 1

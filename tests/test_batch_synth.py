@@ -101,3 +101,39 @@ def test_pass_manager_basic_batched_matches_host():
     d = U0.shape[0]
     assert abs(np.trace(U0.conj().T @ U2)) / d > 1 - 1e-9
     assert abs(np.trace(U1.conj().T @ U2)) / d > 1 - 1e-9
+
+
+def test_params_to_steps_batch_matches_scalar():
+    """The vectorized certify+emit pass is lane-exact vs the per-lane
+    routine (incl. rejection of non-finite lanes and phase bookkeeping)."""
+    from slam_decomposition_tpu.transpile.batch_synth import (
+        _params_to_steps,
+        _params_to_steps_batch,
+    )
+    from slam_decomposition_tpu.transpile.kak import steps_to_matrix
+
+    rng = np.random.default_rng(5)
+    for k in (2, 3):
+        xs = rng.uniform(0, 2 * np.pi, (6, 6 * (k + 1)))
+        # lanes 0..3: self-consistent targets (U built FROM the params, so
+        # certification passes); lane 4: random target (fails); lane 5: NaN
+        Us = []
+        for j in range(6):
+            steps = _params_to_steps(xs[j], k, np.eye(4), atol=np.inf)
+            Us.append(steps_to_matrix(steps[1:]))  # drop the phase step
+        Us = np.stack(Us)
+        Us[4] = np.linalg.qr(
+            rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        )[0]
+        xs[5, 0] = np.nan
+        batch = _params_to_steps_batch(xs, k, Us, atol=1e-9)
+        for j in range(6):
+            scalar = _params_to_steps(xs[j], k, Us[j], atol=1e-9)
+            if scalar is None:
+                assert batch[j] is None, (k, j)
+                continue
+            assert batch[j] is not None, (k, j)
+            Vb = steps_to_matrix(batch[j])
+            Vs = steps_to_matrix(scalar)
+            assert np.abs(Vb - Vs).max() < 1e-12
+            assert np.abs(Vb - Us[j]).max() < 1e-9

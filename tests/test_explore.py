@@ -219,3 +219,26 @@ def test_cost_scaling_resume_after_kill(tmp_path, monkeypatch):
         del hf[group][key]
     # resume recomputes ONLY the missing row
     assert cost_scaling("linear", 0.0) == 1
+
+
+def test_targeted_smush_coords_valid_chamber_points():
+    """Targeted vertex descents emit finite Weyl-chamber coordinates for
+    every iterate, and descents toward CNOT actually approach it (the
+    frontier-extension property the k=1 volumes rely on,
+    parallel_drive_volume.py:229-286 role)."""
+    import numpy as np
+
+    from slam_decomposition_tpu.explore.smush_volume import (
+        NAMED_GATES,
+        targeted_smush_coords,
+    )
+
+    gc, gg, t, _ = NAMED_GATES["iSwap"]
+    cs = targeted_smush_coords(gc, gg, t, 1, restarts=2, iters=40, seed=3)
+    assert cs.shape == (5 * 2 * 41, 3)
+    assert np.isfinite(cs).all()
+    assert (cs >= -1e-9).all() and (cs[:, 0] <= 1 + 1e-9).all()
+    # the CNOT-target descents close most of the distance from a random
+    # start (iSwap k=1 with drives reaches the CX class)
+    d_cx = np.linalg.norm(cs - np.array([0.5, 0.0, 0.0]), axis=1)
+    assert d_cx.min() < 0.05

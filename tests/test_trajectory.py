@@ -76,3 +76,38 @@ def test_evolve_smush_population_transfer():
     np.testing.assert_allclose(
         np.asarray(states[1][-1]), np.asarray(psiT[1]), atol=1e-9
     )
+
+
+def test_improved_swap_two_pulse_golden_artifact():
+    """SWAP from TWO parallel-driven full-iSwap-time pulses, certified
+    exact — capability the reference lacks (its undriven route needs k=3;
+    its [1.0, 0.5] ImprovedSWAP stalled at ~1e-5). The artifact pins the
+    solved drives; this test re-evaluates the full construction and
+    demands certification depth."""
+    import json
+    import pathlib
+
+    from slam_decomposition_tpu.models.gates import SWAP
+    from slam_decomposition_tpu.models.trajectory import (
+        evaluate_drive_sequence,
+    )
+
+    art_path = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "slam_decomposition_tpu"
+        / "data"
+        / "improved_swap_2pulse.json"
+    )
+    art = json.loads(art_path.read_text())
+    locs = [
+        np.array([[complex(re, im) for re, im in row] for row in L])
+        for L in art["locals"]
+    ]
+    U = evaluate_drive_sequence(
+        art["params"], art["plan"], art["gc"], art["gg"], art["n_slices"],
+        locs,
+    )
+    tr = np.trace(SWAP.to_numpy().conj().T @ U)
+    infid = 1.0 - abs(tr) / 4.0
+    assert infid < 1e-10, infid
+    assert art["certified_loss"] < 1e-10
