@@ -305,6 +305,14 @@ def speed_gate_substitute(
     rng = np.random.default_rng(seed)
     smush = "smush" in strategy
 
+    _gate_np_cache: Dict[int, np.ndarray] = {}
+
+    def _gate_np(g):
+        # one host-CPU matrix eval per distinct gate object, not per block
+        if id(g) not in _gate_np_cache:
+            _gate_np_cache[id(g)] = g.to_numpy()
+        return _gate_np_cache[id(g)]
+
     def substitute_with(template, scaled_gate, target, sub_seed_rng, k=None):
         if family_extension:
             from slam_decomposition_tpu.explore.family import recursive_sibling_check
@@ -327,7 +335,7 @@ def speed_gate_substitute(
         _random_1q_layer(sub, sub_seed_rng, duration_1q)
         for _ in range(k):
             sub.append(
-                "winner2q", (0, 1), matrix=scaled_gate.to_numpy(),
+                "winner2q", (0, 1), matrix=_gate_np(scaled_gate),
                 duration=scaled_gate.duration,
             )
             _random_1q_layer(sub, sub_seed_rng, duration_1q)
@@ -437,9 +445,22 @@ def fit_substituted_pd(
     per_pulse = 2 + 2 * n_slices
     _exact_fallback: List[int] = []
 
+    # memoized by duration + pinned to host CPU: an eager smush_u is a
+    # Trotter scan of ~50 small ops, and dispatching those through the
+    # remote tunnel PER BLOCK (~1950 controlled-family blocks on QFT-64,
+    # ~63 distinct durations) took ~1 s each — the fit_1q pass appeared
+    # hung for the better part of an hour before any solver ran
+    _zero_cache: Dict[float, np.ndarray] = {}
+
     def zero_pulse(t):
-        zero = np.zeros(n_slices)
-        return cplx.to_numpy(ham.smush_u(0.0, 0.0, gc, 0.0, zero, zero, t=t))
+        key = round(float(t), 12)
+        if key not in _zero_cache:
+            zero = np.zeros(n_slices)
+            with jax.default_device(jax.devices("cpu")[0]):
+                _zero_cache[key] = cplx.to_numpy(
+                    ham.smush_u(0.0, 0.0, gc, 0.0, zero, zero, t=t)
+                )
+        return _zero_cache[key]
 
     # --- exact path: a single zero-drive pulse whose canonical class
     # already equals the block's needs NO optimizer — the sandwich locals
@@ -531,9 +552,14 @@ def fit_substituted_pd(
             )
         )
         x_full = np.zeros((B, n_core + 12))
+        # ONE vmapped device call for all fitted cores: an eager per-lane
+        # core_fn walks the Trotter product op-by-op through the remote
+        # tunnel (~hundreds of ~20 ms dispatches PER BLOCK — the same
+        # failure mode as round 2's eager constant construction)
+        cores = cplx.to_numpy(jax.jit(jax.vmap(core_fn))(jnp.asarray(xs)))
         for j, i in enumerate(idxs):
             x = xs[j]
-            core = cplx.to_numpy(core_fn(jnp.asarray(x)))
+            core = cores[j]
             bf = kak_form(blocks[i].unitary)
             pf = kak_form(core)
             A2 = bf.l1 @ pf.l1.conj().T
@@ -549,11 +575,20 @@ def fit_substituted_pd(
         # quadratically to certification depth.
         x_pol = np.array(_accel_solve(polish, B, jnp.asarray(x_full), tgts))
         # rescue: lanes still failing get one direct full-parameter solve
-        # (phase residual, fresh restarts) — best of the two results wins
-        infids = []
-        for j, i in enumerate(idxs):
-            V = cplx.to_numpy(full_fn(jnp.asarray(x_pol[j])))
-            infids.append(1 - abs(np.trace(V.conj().T @ blocks[i].unitary)) / 4)
+        # (phase residual, fresh restarts) — best of the two results wins.
+        # Certification evals are ONE vmapped call, never per-lane eager
+        # (see the stage-2 note above).
+        full_batch = jax.jit(jax.vmap(full_fn))
+
+        def _infids_of(x_arr, blk_idx):
+            Vs = cplx.to_numpy(full_batch(jnp.asarray(x_arr)))
+            return [
+                1
+                - abs(np.trace(V.conj().T @ blocks[i].unitary)) / 4
+                for V, i in zip(Vs, blk_idx)
+            ]
+
+        infids = _infids_of(x_pol, idxs)
         fail = [j for j in range(B) if infids[j] > threshold]
         if fail:
             rescue = jax.jit(make_solver(
@@ -570,14 +605,33 @@ def fit_substituted_pd(
                 rx0[jj, 0] = x_pol[j]  # restart 0: the polished seed
             rxs, rfs = _accel_solve(rescue, len(fail), jnp.asarray(rx0), rt)
             rxs = np.asarray(rxs)
+            r_infids = _infids_of(rxs, [idxs[j] for j in fail])
             for jj, j in enumerate(fail):
-                V = cplx.to_numpy(full_fn(jnp.asarray(rxs[jj])))
-                infid = 1 - abs(np.trace(V.conj().T @ blocks[idxs[j]].unitary)) / 4
-                if infid < infids[j]:
+                if r_infids[jj] < infids[j]:
                     x_pol[j] = rxs[jj]
-                    infids[j] = infid
+                    infids[j] = r_infids[jj]
         n_ok = 0
         worst = 0.0
+        # emit-time pulse matrices: ONE vmapped call for every (lane,
+        # layer) pulse — smush_u takes t as a traced value, so per-lane
+        # durations batch too (an eager per-pulse eval was ~hundreds of
+        # tunnel dispatches per block)
+        PP = np.stack([
+            [
+                x_pol[j][mm * per_pulse + m : (mm + 1) * per_pulse + m]
+                for mm in range(m)
+            ]
+            for j in range(B)
+        ])  # (B, m, per_pulse)
+        TT = np.array([[plans[i][mm] for mm in range(m)] for i in idxs])
+        pulse_batch = jax.jit(jax.vmap(lambda pp, tt: ham.smush_u(
+            pp[0], pp[1], gc, 0.0, pp[2 : 2 + n_slices],
+            pp[2 + n_slices : 2 + 2 * n_slices], t=tt,
+        )))
+        Upulses = cplx.to_numpy(pulse_batch(
+            jnp.asarray(PP.reshape(B * m, per_pulse)),
+            jnp.asarray(TT.reshape(B * m)),
+        )).reshape(B, m, 4, 4)
         for j, i in enumerate(idxs):
             x = x_pol[j]
             infid = infids[j]
@@ -593,10 +647,7 @@ def fit_substituted_pd(
                              duration=duration_1q)
             for layer_i in range(m):
                 pp = x[m + layer_i * per_pulse : m + (layer_i + 1) * per_pulse]
-                Upulse = cplx.to_numpy(ham.smush_u(
-                    pp[0], pp[1], gc, 0.0, pp[2 : 2 + n_slices],
-                    pp[2 + n_slices : 2 + 2 * n_slices], t=plans[i][layer_i],
-                ))
+                Upulse = Upulses[j, layer_i]
                 dur = old2q[layer_i].duration if layer_i < len(old2q) else None
                 new_c.append("pd_pulse", (0, 1), params=tuple(pp),
                              matrix=Upulse, duration=dur)
