@@ -266,7 +266,13 @@ def optimize_pulses(
         r, i = idx // (iters + 1), idx % (iters + 1)
         return p_hist[r, i], hist[r, i], hist[r]
 
-    raw, value, history = solve(jax.random.PRNGKey(seed))
+    # GRAPE = Adam (reverse-mode grad of the Trotter propagator) inside a
+    # lax.scan — the program class that crashes this environment's TPU
+    # worker process; host-pinned there (gauss_newton.driven_adam_device)
+    from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
+
+    with driven_adam_device():
+        raw, value, history = solve(jax.random.PRNGKey(seed))
     w = getattr(eval_fn, "window", None)
     if w is None:
         raise ValueError(

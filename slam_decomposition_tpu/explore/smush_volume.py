@@ -198,7 +198,13 @@ def targeted_smush_coords(
             in_axes=(0, 0, 0),
         )
     )
-    cs = np.asarray(f(x0s, V[0], V[1]))  # (nv, R, iters+1, 3)
+    # Adam (reverse-mode grad of the driven propagator) inside lax.scan —
+    # host-pinned on TPU backends (worker-crash fault,
+    # gauss_newton.driven_adam_device)
+    from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
+
+    with driven_adam_device():
+        cs = np.asarray(f(x0s, V[0], V[1]))  # (nv, R, iters+1, 3)
     return cs.reshape(-1, 3)
 
 

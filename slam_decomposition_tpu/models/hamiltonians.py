@@ -116,20 +116,38 @@ def smush_h(phi_c, phi_g, gc, gg, gx, gy, dtype=jnp.float64) -> cplx.CMat:
 def smush_u(phi_c, phi_g, gc, gg, gx_vec, gy_vec, t=1.0, dtype=jnp.float64):
     """Trotter product over piecewise-constant 1Q drive slices.
 
-    U = prod_i expm(-i dt H(gx_i, gy_i)), dt = t / N — as a lax.scan.
+    U = prod_i expm(-i dt H(gx_i, gy_i)), dt = t / N.
     Reference: ConversionGainSmush.construct_U (hamiltonian.py:131-144).
+
+    The slice loop UNROLLS for small static N (a Python loop, no
+    lax.scan): on this environment's TPU runtime, reverse-mode AD through
+    a lax.scan nested inside an outer optimization scan CRASHES the TPU
+    worker process (bisected 2026-08-20 on the fit_substituted_pd
+    stage-1 solver: Adam-over-grad-of-scan dies for both the Makhlin and
+    phase objectives, while the same program's LM stages — linearize +
+    fori_loop over the same inner scan — run fine, as does Adam over
+    scan-free chains). Typical N here is 2-16 slices, where unrolling is
+    also simply the faster program; genuinely long slice vectors (OCT
+    pulse shaping) keep the scan.
     """
     gx_vec = jnp.asarray(gx_vec, dtype=dtype)
     gy_vec = jnp.asarray(gy_vec, dtype=dtype)
     n = gx_vec.shape[-1]
     dt = jnp.asarray(t, dtype=dtype) / n
 
-    def step(U, gxy):
-        gx, gy = gxy
+    def slice_u(gx, gy):
         H = smush_h(phi_c, phi_g, gc, gg, gx, gy, dtype=dtype)
         A = (H[1] * dt, -H[0] * dt)
-        Ui = expm_taylor(A)
-        return cplx.matmul(Ui, U), None
+        return expm_taylor(A)
+
+    if n <= 32:
+        U = cplx.eye(4, dtype=dtype)
+        for i in range(n):
+            U = cplx.matmul(slice_u(gx_vec[..., i], gy_vec[..., i]), U)
+        return U
+
+    def step(U, gxy):
+        return cplx.matmul(slice_u(*gxy), U), None
 
     U0 = cplx.eye(4, dtype=dtype)
     # move slice axis to front for scan

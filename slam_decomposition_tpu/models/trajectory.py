@@ -109,11 +109,16 @@ def drive_pulse_for_target(
     x0[..., 2:] = rng.uniform(-4.0, 4.0, (1, restarts, 2 * n_slices))
     x0 = jnp.asarray(x0)
 
+    from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
+
     if mode == "exact":
         solver = jax.jit(
             make_solver(eval_fn, n_params, adam_iters=400, lm_iters=12)
         )
-        bx, bf = solver(x0, tgt)
+        # Adam over a driven (Trotter) core: host-pinned on TPU backends
+        # (worker-crash fault, gauss_newton.driven_adam_device)
+        with driven_adam_device():
+            bx, bf = solver(x0, tgt)
         return np.asarray(bx[0]), float(bf[0])
 
     solver = jax.jit(
@@ -127,7 +132,8 @@ def drive_pulse_for_target(
             final_cost_fn=cost_lib.makhlin_functional_cost,
         )
     )
-    bx, bf = solver(x0, tgt)
+    with driven_adam_device():
+        bx, bf = solver(x0, tgt)
     params, loss = np.asarray(bx[0]), float(bf[0])
     # exact outer locals: target = (A2 x B2) U_pulse (A1 x B1) from the two
     # KAK forms (same pattern as transpile/passes.py:393-404)
@@ -270,7 +276,12 @@ def drive_sequence_for_target(
             final_cost_fn=cost_lib.makhlin_functional_cost,
         )
     )
-    bx, _ = solver(jnp.asarray(x0), tgt)
+    from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
+
+    # Adam over the driven core: host-pinned on TPU backends (worker-crash
+    # fault, gauss_newton.driven_adam_device)
+    with driven_adam_device():
+        bx, _ = solver(jnp.asarray(x0), tgt)
     params = np.asarray(bx[0])
 
     P = cplx.to_numpy(core_fn(jnp.asarray(params)))
@@ -322,7 +333,8 @@ def drive_sequence_for_target(
         )
         rx0 = rng.uniform(-2 * np.pi, 2 * np.pi, (1, restarts, n_core + 12))
         rx0[0, 0] = xf
-        rxs, _ = rescue(jnp.asarray(rx0), tgt)
+        with driven_adam_device():
+            rxs, _ = rescue(jnp.asarray(rx0), tgt)
         cand = np.asarray(rxs[0])
         if exact_loss_of(cand) < exact_loss:
             xf = cand

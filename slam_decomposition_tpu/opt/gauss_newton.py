@@ -52,6 +52,31 @@ def _makhlin_residual(eval_fn, x, tgt):
     return gv - gu
 
 
+def driven_adam_device():
+    """Device context for ADAM-BEARING solves over driven (Trotter)
+    propagators: pinned to host CPU on TPU backends.
+
+    This environment's TPU runtime CRASHES the worker process ("TPU
+    worker process crashed or restarted ... kernel fault") when an Adam
+    warm start (reverse-mode value_and_grad inside a lax.scan) runs over
+    the smush propagator. Bisected 2026-08-20 on the fit_substituted_pd
+    stage-1 program at B=64: Adam-only crashes for BOTH the Makhlin and
+    phase objectives; the LM stages (jax.linearize + fori_loop) over the
+    SAME evaluator run fine, as does the bench's Adam over scan-free u3
+    chains; unrolling the inner Trotter lax.scan into straight-line
+    expm_taylor chains does NOT fix it. The fault is in the backward-
+    of-scan lowering for this program class, not in our code — every
+    crashing program runs correctly on CPU and passes its numerical
+    tests there. Until the toolchain moves, Adam-bearing driven-core
+    solves take the host; LM-only polishes may ride the accelerator.
+    """
+    import contextlib
+
+    if jax.default_backend() == "tpu":
+        return jax.default_device(jax.devices("cpu")[0])
+    return contextlib.nullcontext()
+
+
 def make_solver(
     eval_fn: Callable,
     n_params: int,

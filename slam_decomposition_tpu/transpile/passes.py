@@ -468,8 +468,23 @@ def fit_substituted_pd(
     groups: Dict[int, List[int]] = {}
     for i in plans:
         if len(plans[i]) == 1:
-            P0 = zero_pulse(plans[i][0])
             bf = kak_form(blocks[i].unitary)
+            # plans carry durations derived from the mixed-precision (f32
+            # eigensolve) coordinates, accurate to ~1e-7 — comparing the
+            # zero-pulse class against the block's f64 KAK at 1e-12 with
+            # THAT duration rejects every block and sends the whole
+            # controlled family to the (expensive) solver. Re-derive the
+            # duration from the block's own f64 class instead (zero pulse
+            # of duration t0 has class (t0/2, 0, 0)) when it is within
+            # coordinate error of the plan; the 1e-12 gate below then
+            # certifies the rebuilt pulse exactly.
+            t_exact = 2.0 * float(bf.t[0])
+            t0 = (
+                t_exact
+                if abs(t_exact - plans[i][0]) < 1e-5
+                else plans[i][0]
+            )
+            P0 = zero_pulse(t0)
             pf = kak_form(P0)
             if np.abs(bf.t - pf.t).max() < 1e-12:
                 A2 = bf.l1 @ pf.l1.conj().T
@@ -529,7 +544,12 @@ def fit_substituted_pd(
         x0 = rng.uniform(-2 * np.pi, 2 * np.pi, (B, R, n_params))
         for j, i in enumerate(idxs):
             x0[j, :, :m] = plans[i]
-        xs, fs = _accel_solve(solve, B, jnp.asarray(x0), tgts)
+        # Adam-bearing driven-core solve: host-pinned on TPU backends
+        # (the worker-crash fault, see gauss_newton.driven_adam_device)
+        from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
+
+        with driven_adam_device():
+            xs, fs = solve(jnp.asarray(x0), tgts)
         xs, fs = np.asarray(xs), np.asarray(fs)
         # --- stage 2: exact outer locals by KAK sandwich of the fitted
         # core, giving a near-converged FULL parameterization...
@@ -603,7 +623,8 @@ def fit_substituted_pd(
             for jj, j in enumerate(fail):
                 rx0[jj, :, :m] = plans[idxs[j]]
                 rx0[jj, 0] = x_pol[j]  # restart 0: the polished seed
-            rxs, rfs = _accel_solve(rescue, len(fail), jnp.asarray(rx0), rt)
+            with driven_adam_device():
+                rxs, rfs = rescue(jnp.asarray(rx0), rt)
             rxs = np.asarray(rxs)
             r_infids = _infids_of(rxs, [idxs[j] for j in fail])
             for jj, j in enumerate(fail):
