@@ -50,6 +50,11 @@ class Ansatz:
     # structure the fused Pallas Adam kernel (ops/pallas_chain.py) needs;
     # None when the template doesn't match that shape
     chain_gates: Optional[np.ndarray] = None
+    # True when eval_fn contains a driven/Trotterized propagator (expm
+    # chains): long Adam scans over such bodies crash this environment's
+    # TPU worker (gauss_newton.driven_adam_device), so the optimizer
+    # host-pins Adam-bearing solves for these templates on TPU backends
+    driven: bool = False
 
     def circuit_cost(self, x):
         if self.cost_fn is None:
@@ -310,6 +315,7 @@ def hamiltonian_ansatz(
         n_params=n_params,
         n_params_1q=0,
         eval_fn=eval_fn,
+        driven=True,
         lower=lower,
         upper=upper,
     )

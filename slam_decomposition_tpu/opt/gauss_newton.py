@@ -59,16 +59,24 @@ def driven_adam_device():
     This environment's TPU runtime CRASHES the worker process ("TPU
     worker process crashed or restarted ... kernel fault") when an Adam
     warm start (reverse-mode value_and_grad inside a lax.scan) runs over
-    the smush propagator. Bisected 2026-08-20 on the fit_substituted_pd
-    stage-1 program at B=64: Adam-only crashes for BOTH the Makhlin and
-    phase objectives; the LM stages (jax.linearize + fori_loop) over the
-    SAME evaluator run fine, as does the bench's Adam over scan-free u3
-    chains; unrolling the inner Trotter lax.scan into straight-line
-    expm_taylor chains does NOT fix it. The fault is in the backward-
-    of-scan lowering for this program class, not in our code — every
-    crashing program runs correctly on CPU and passes its numerical
-    tests there. Until the toolchain moves, Adam-bearing driven-core
-    solves take the host; LM-only polishes may ride the accelerator.
+    the smush propagator. Full bisect, 2026-08-20, on the
+    fit_substituted_pd stage-1 program at B=64 x R=16:
+
+    * adam 400 iters, Makhlin objective      -> worker crash
+    * adam 400 iters, phase objective        -> worker crash
+    * adam 400 iters, no stop_gradient       -> worker crash
+    * adam  20 iters (same body)             -> OK
+    * LM stages (linearize + fori_loop) only -> OK
+    * Adam over scan-free u3 chains (bench)  -> OK (production path)
+    * inner Trotter scan unrolled            -> still crashes at 400
+
+    The trigger is the Adam scan's TRIP COUNT over this heavy body, not
+    its structure — consistent with a worker-side execution watchdog or
+    resource limit killing the process mid-run rather than a miscompile.
+    Every crashing program runs correctly on CPU and passes its
+    numerical tests there. Until the runtime moves, Adam-bearing
+    driven-core solves take the host; LM-only polishes may ride the
+    accelerator.
     """
     import contextlib
 

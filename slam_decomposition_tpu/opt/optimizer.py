@@ -198,12 +198,27 @@ class TemplateOptimizer:
             fast = jax.jit(base)
 
             def solver(x0s, tgt_pair):
-                if with_history:
-                    xs, fs, hist, lm_hist = hist_fn(x0s, tgt_pair)
-                    self.training_history.append(np.asarray(hist))
-                    self.training_history_lm.append(np.asarray(lm_hist))
-                else:
-                    xs, fs = fast(x0s, tgt_pair)
+                # driven (Trotter/expm) evals: Adam-bearing solves are
+                # host-pinned on TPU backends — long Adam scans over such
+                # bodies crash this environment's TPU worker process
+                # (gauss_newton.driven_adam_device)
+                from slam_decomposition_tpu.opt.gauss_newton import (
+                    driven_adam_device,
+                )
+                import contextlib
+
+                ctx = (
+                    driven_adam_device()
+                    if getattr(ansatz, "driven", False)
+                    else contextlib.nullcontext()
+                )
+                with ctx:
+                    if with_history:
+                        xs, fs, hist, lm_hist = hist_fn(x0s, tgt_pair)
+                        self.training_history.append(np.asarray(hist))
+                        self.training_history_lm.append(np.asarray(lm_hist))
+                    else:
+                        xs, fs = fast(x0s, tgt_pair)
                 return xs, fs, jnp.zeros(())
 
             self._solver_cache[key] = solver
