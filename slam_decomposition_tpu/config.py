@@ -56,3 +56,15 @@ def setup_x64() -> None:
     # which stalls the f32 optimization phases at ~1e-3; force the 3-pass
     # full-f32 algorithm
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compilation cache: remote AOT compiles through the axon
+    # tunnel cost minutes per executable; every entry point (scripts,
+    # examples, bench) should share the repo-local cache. bench.py sets
+    # this itself; scripts going through setup_x64 previously paid full
+    # recompiles on every run. SLAM_JAX_CACHE= (empty) disables.
+    cache_dir = os.environ.get(
+        "SLAM_JAX_CACHE",
+        str(pathlib.Path(__file__).parent.parent / ".jax_cache"),
+    )
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -572,11 +572,17 @@ def fit_substituted_pd(
             )
         )
         x_full = np.zeros((B, n_core + 12))
-        # ONE vmapped device call for all fitted cores: an eager per-lane
+        # ONE vmapped call for all fitted cores: an eager per-lane
         # core_fn walks the Trotter product op-by-op through the remote
         # tunnel (~hundreds of ~20 ms dispatches PER BLOCK — the same
-        # failure mode as round 2's eager constant construction)
-        cores = cplx.to_numpy(jax.jit(jax.vmap(core_fn))(jnp.asarray(xs)))
+        # failure mode as round 2's eager constant construction). Pinned
+        # to host CPU: these are tiny forward evals, and compiling a
+        # fresh vmapped smush executable through the remote AOT service
+        # costs 10-40 min vs ~1 s of local CPU compile
+        with jax.default_device(jax.devices("cpu")[0]):
+            cores = cplx.to_numpy(
+                jax.jit(jax.vmap(core_fn))(jnp.asarray(xs))
+            )
         for j, i in enumerate(idxs):
             x = xs[j]
             core = cores[j]
@@ -601,7 +607,9 @@ def fit_substituted_pd(
         full_batch = jax.jit(jax.vmap(full_fn))
 
         def _infids_of(x_arr, blk_idx):
-            Vs = cplx.to_numpy(full_batch(jnp.asarray(x_arr)))
+            # host-pinned tiny forward evals (see the cores note above)
+            with jax.default_device(jax.devices("cpu")[0]):
+                Vs = cplx.to_numpy(full_batch(jnp.asarray(x_arr)))
             return [
                 1
                 - abs(np.trace(V.conj().T @ blocks[i].unitary)) / 4
@@ -649,10 +657,11 @@ def fit_substituted_pd(
             pp[0], pp[1], gc, 0.0, pp[2 : 2 + n_slices],
             pp[2 + n_slices : 2 + 2 * n_slices], t=tt,
         )))
-        Upulses = cplx.to_numpy(pulse_batch(
-            jnp.asarray(PP.reshape(B * m, per_pulse)),
-            jnp.asarray(TT.reshape(B * m)),
-        )).reshape(B, m, 4, 4)
+        with jax.default_device(jax.devices("cpu")[0]):
+            Upulses = cplx.to_numpy(pulse_batch(
+                jnp.asarray(PP.reshape(B * m, per_pulse)),
+                jnp.asarray(TT.reshape(B * m)),
+            )).reshape(B, m, 4, 4)
         for j, i in enumerate(idxs):
             x = x_pol[j]
             infid = infids[j]
