@@ -9,13 +9,17 @@ restarts/iterations are only a win if the rescue-round cost of the extra
 failures stays below the saved warm-start work.
 
 Usage:
-  python scripts/tune_solver.py R ADAM_ITERS [LM32_ITERS] [N] [CHUNK]
+  python scripts/tune_solver.py R ADAM_ITERS [LM32_ITERS] [TOP_M] [LM_ITERS] [N] [CHUNK]
 
-Prints one JSON line per k with {k, R, adam_iters, lm32_iters, n, chunk,
-converged_frac, seconds, targets_per_s, warmup_s}. Each new (CHUNK, R,
-adam_iters) tuple is a new XLA executable (the lr schedule's length is an
-input shape) — expect one remote AOT compile per k on first run; results
-land in the persistent .jax_cache like bench.py's.
+TOP_M=0 means no restart cut (the pre-round-5 flat path); TOP_M=m runs
+the f32-LM ranking pass on only the best m restarts by Adam-final cost
+(make_solver top_m). LM_ITERS is the df64 polish iteration count.
+
+Prints one JSON line per k with {k, R, adam_iters, lm32_iters, top_m,
+lm_iters, n, chunk, converged_frac, seconds, targets_per_s, warmup_s}.
+Each new config tuple is a new XLA executable — expect one remote AOT
+compile per k on first run; results land in the persistent .jax_cache
+like bench.py's.
 """
 
 import json
@@ -43,8 +47,10 @@ from slam_decomposition_tpu.ops import cplx
 R = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 ADAM_ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 LM32_ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-N = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000
-CHUNK = int(sys.argv[5]) if len(sys.argv) > 5 else 2_500
+TOP_M = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+LM_ITERS = int(sys.argv[5]) if len(sys.argv) > 5 else 6
+N = int(sys.argv[6]) if len(sys.argv) > 6 else 10_000
+CHUNK = int(sys.argv[7]) if len(sys.argv) > 7 else 10_000
 THRESH = 1e-10
 
 
@@ -71,6 +77,8 @@ def main():
                 a.n_params,
                 adam_iters=ADAM_ITERS,
                 lm32_iters=LM32_ITERS,
+                lm_iters=LM_ITERS,
+                top_m=TOP_M if TOP_M > 0 else None,
                 chain_gates=a.chain_gates,
             )
         )
@@ -113,6 +121,8 @@ def main():
                     "R": R,
                     "adam_iters": ADAM_ITERS,
                     "lm32_iters": LM32_ITERS,
+                    "top_m": TOP_M,
+                    "lm_iters": LM_ITERS,
                     "n": n,
                     "chunk": CHUNK,
                     "converged_frac": round(frac, 5),

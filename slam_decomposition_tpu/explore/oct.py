@@ -205,23 +205,26 @@ def optimize_pulses(
 
     vg = jax.value_and_grad(objective, has_aux=True)
 
-    def run(p0):
+    def _adam_step(carry, i):
         # one forward+backward per iteration: the raw functional value
         # rides along as value_and_grad's aux, logged at the PRE-update
-        # point it was evaluated at (so hist[i] pairs with p_hist[i])
-        def step(carry, i):
-            p, m, v = carry
-            (_, val), g = vg(p)
-            m = 0.9 * m + 0.1 * g
-            v = 0.999 * v + 0.001 * (g * g)
-            mhat = m / (1.0 - 0.9 ** (i + 1.0))
-            vhat = v / (1.0 - 0.999 ** (i + 1.0))
-            step_lr = lr * (0.5 ** (i / (iters / 3.0)))
-            p_new = p - step_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
-            return (p_new, m, v), (val, p)
+        # point it was evaluated at (so hist[i] pairs with p_hist[i]).
+        # i is the ABSOLUTE iteration index — shared by the full scan and
+        # the trip-count-segmented scan below, so both run the identical
+        # iterate trajectory.
+        p, m, v = carry
+        (_, val), g = vg(p)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * (g * g)
+        mhat = m / (1.0 - 0.9 ** (i + 1.0))
+        vhat = v / (1.0 - 0.999 ** (i + 1.0))
+        step_lr = lr * (0.5 ** (i / (iters / 3.0)))
+        p_new = p - step_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return (p_new, m, v), (val, p)
 
+    def run(p0):
         (p_fin, _, _), (hist, p_hist) = jax.lax.scan(
-            step,
+            _adam_step,
             (p0, jnp.zeros_like(p0), jnp.zeros_like(p0)),
             jnp.arange(iters, dtype=jnp.float64),
         )
@@ -232,16 +235,16 @@ def optimize_pulses(
         p_hist = jnp.concatenate([p_hist, p_fin[None]])
         return hist, p_hist
 
-    @jax.jit
-    def solve(key):
-        p0 = (
+    def _init(key):
+        return (
             jax.random.uniform(
                 key, (restarts, n_channels, n_slices), dtype=jnp.float64
             )
             * 2.0
             - 1.0
         ) * amp0
-        hist, p_hist = jax.vmap(run)(p0)  # (R, iters), (R, iters, C, N)
+
+    def _select(hist, p_hist):  # (R, iters+1), (R, iters+1, C, N)
         if is_pe:
             # select the FIRST iterate exactly inside the PE polytope
             # (krotov's check_PE stopping rule, batched over the whole
@@ -267,12 +270,69 @@ def optimize_pulses(
         return p_hist[r, i], hist[r, i], hist[r]
 
     # GRAPE = Adam (reverse-mode grad of the Trotter propagator) inside a
-    # lax.scan — the program class that crashes this environment's TPU
-    # worker process; host-pinned there (gauss_newton.driven_adam_device)
-    from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
+    # lax.scan — in ONE dispatch that crashes this environment's TPU
+    # worker at high trip counts (gauss_newton.driven_adam_device bisect).
+    # On TPU the loop therefore runs as <=SEG-iteration device dispatches
+    # with carried (p, m, v) state — identical iterates to the full scan
+    # (shared _adam_step, absolute index). SLAM_DRIVEN_MODE=host restores
+    # the round-4 whole-solve host pin; "plain" (default off-TPU) is the
+    # original single jit.
+    import os as _os
 
-    with driven_adam_device():
-        raw, value, history = solve(jax.random.PRNGKey(seed))
+    mode = _os.environ.get("SLAM_DRIVEN_MODE", "") or (
+        "segmented" if jax.default_backend() == "tpu" else "plain"
+    )
+    if mode == "segmented":
+        SEG = 20
+
+        def seg_run(p, m, v, i0):
+            def step(carry, j):
+                i = i0 + j
+                new, out = _adam_step(carry, i)
+                live = i < iters
+                kept = tuple(
+                    jnp.where(live, n_, o_) for n_, o_ in zip(new, carry)
+                )
+                return kept, out
+
+            (p, m, v), (hist, p_hist) = jax.lax.scan(
+                step, (p, m, v), jnp.arange(SEG, dtype=jnp.float64)
+            )
+            return p, m, v, hist, p_hist
+
+        seg_jit = jax.jit(jax.vmap(seg_run, in_axes=(0, 0, 0, None)))
+        fin_jit = jax.jit(jax.vmap(lambda p: fn(eval_fn(p))))
+        sel_jit = jax.jit(_select)
+        p = _init(jax.random.PRNGKey(seed))
+        m = jnp.zeros_like(p)
+        v = jnp.zeros_like(p)
+        hs, ps = [], []
+        for s in range(-(-iters // SEG)):
+            i0 = jnp.asarray(s * SEG, dtype=jnp.float64)
+            p, m, v, h, ph = seg_jit(p, m, v, i0)
+            hs.append(h)
+            ps.append(ph)
+        # slice off masked (past-``iters``) log entries, then append the
+        # final iterate exactly as the full-scan path does
+        hist = jnp.concatenate(hs, axis=1)[:, :iters]
+        p_hist = jnp.concatenate(ps, axis=1)[:, :iters]
+        hist = jnp.concatenate([hist, fin_jit(p)[:, None]], axis=1)
+        p_hist = jnp.concatenate([p_hist, p[:, None]], axis=1)
+        raw, value, history = sel_jit(hist, p_hist)
+    else:
+        @jax.jit
+        def solve(key):
+            hist, p_hist = jax.vmap(run)(_init(key))
+            return _select(hist, p_hist)
+
+        from slam_decomposition_tpu.opt.gauss_newton import (
+            driven_adam_device,
+        )
+        import contextlib
+
+        ctx = driven_adam_device() if mode == "host" else contextlib.nullcontext()
+        with ctx:
+            raw, value, history = solve(jax.random.PRNGKey(seed))
     w = getattr(eval_fn, "window", None)
     if w is None:
         raise ValueError(

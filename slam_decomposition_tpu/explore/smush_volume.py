@@ -169,22 +169,18 @@ def targeted_smush_coords(
 
     grad = jax.grad(cost)
 
-    def descend(x0, v0, v1):
-        def step(carry, _):
-            x, m, v, i = carry
-            g = grad(x, v0, v1)
-            m2 = 0.9 * m + 0.1 * g
-            v2 = 0.999 * v + 0.001 * g * g
-            mh = m2 / (1 - 0.9 ** (i + 1))
-            vh = v2 / (1 - 0.999 ** (i + 1))
-            x2 = x - lr * mh / (jnp.sqrt(vh) + 1e-8)
-            return (x2, m2, v2, i + 1), weyl.c1c2c3(eval_one(x2))
-
-        z = jnp.zeros_like(x0)
-        (_, _, _, _), cs = jax.lax.scan(
-            step, (x0, z, z, 0), None, length=iters
-        )
-        return jnp.concatenate([weyl.c1c2c3(eval_one(x0))[None], cs])
+    def _step(carry, i, v0, v1):
+        # one Adam update at ABSOLUTE index i, emitting the new iterate's
+        # Weyl coordinates — shared by the full scan and the trip-count-
+        # segmented scan (identical trajectories)
+        x, m, v = carry
+        g = grad(x, v0, v1)
+        m2 = 0.9 * m + 0.1 * g
+        v2 = 0.999 * v + 0.001 * g * g
+        mh = m2 / (1 - 0.9 ** (i + 1))
+        vh = v2 / (1 - 0.999 ** (i + 1))
+        x2 = x - lr * mh / (jnp.sqrt(vh) + 1e-8)
+        return (x2, m2, v2), weyl.c1c2c3(eval_one(x2))
 
     nv = len(targets)
     key = jax.random.PRNGKey(seed)
@@ -192,19 +188,83 @@ def targeted_smush_coords(
         key, (nv, restarts, n_params), dtype=jnp.float64,
         minval=-drive_bound, maxval=drive_bound,
     )
-    f = jax.jit(
-        jax.vmap(
-            jax.vmap(descend, in_axes=(0, None, None)),
-            in_axes=(0, 0, 0),
-        )
-    )
-    # Adam (reverse-mode grad of the driven propagator) inside lax.scan —
-    # host-pinned on TPU backends (worker-crash fault,
-    # gauss_newton.driven_adam_device)
-    from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
 
-    with driven_adam_device():
-        cs = np.asarray(f(x0s, V[0], V[1]))  # (nv, R, iters+1, 3)
+    # Adam (reverse-mode grad of the driven propagator) inside lax.scan:
+    # one full-length dispatch crashes this environment's TPU worker
+    # (gauss_newton.driven_adam_device bisect), so on TPU the descent runs
+    # as <=SEG-iteration device dispatches with carried (x, m, v) state;
+    # SLAM_DRIVEN_MODE=host restores the round-4 whole-solve host pin.
+    import os as _os
+
+    mode = _os.environ.get("SLAM_DRIVEN_MODE", "") or (
+        "segmented" if jax.default_backend() == "tpu" else "plain"
+    )
+    if mode == "segmented":
+        SEG = 20
+
+        def seg_one(x, m, v, i0, v0, v1):
+            def step(carry, j):
+                i = i0 + j
+                new, out = _step(carry, i, v0, v1)
+                live = i < iters
+                kept = tuple(
+                    jnp.where(live, n_, o_) for n_, o_ in zip(new, carry)
+                )
+                return kept, out
+
+            (x, m, v), cs = jax.lax.scan(
+                step, (x, m, v), jnp.arange(SEG, dtype=jnp.float64)
+            )
+            return x, m, v, cs
+
+        seg_jit = jax.jit(
+            jax.vmap(
+                jax.vmap(seg_one, in_axes=(0, 0, 0, None, None, None)),
+                in_axes=(0, 0, 0, None, 0, 0),
+            )
+        )
+        c0_jit = jax.jit(
+            jax.vmap(jax.vmap(lambda x: weyl.c1c2c3(eval_one(x))))
+        )
+        x = x0s
+        m = jnp.zeros_like(x)
+        v = jnp.zeros_like(x)
+        segs = [c0_jit(x)[:, :, None]]  # initial coords, (nv, R, 1, 3)
+        for s in range(-(-iters // SEG)):
+            i0 = jnp.asarray(s * SEG, dtype=jnp.float64)
+            x, m, v, cseg = seg_jit(x, m, v, i0, V[0], V[1])
+            segs.append(cseg)
+        cs = np.asarray(
+            jnp.concatenate(segs, axis=2)[:, :, : iters + 1]
+        )
+    else:
+        def descend(x0, v0, v1):
+            z = jnp.zeros_like(x0)
+            (_, _, _), csq = jax.lax.scan(
+                lambda c, i: _step(c, i, v0, v1),
+                (x0, z, z),
+                jnp.arange(iters, dtype=jnp.float64),
+            )
+            return jnp.concatenate([weyl.c1c2c3(eval_one(x0))[None], csq])
+
+        f = jax.jit(
+            jax.vmap(
+                jax.vmap(descend, in_axes=(0, None, None)),
+                in_axes=(0, 0, 0),
+            )
+        )
+        from slam_decomposition_tpu.opt.gauss_newton import (
+            driven_adam_device,
+        )
+        import contextlib
+
+        ctx = (
+            driven_adam_device()
+            if mode == "host"
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            cs = np.asarray(f(x0s, V[0], V[1]))  # (nv, R, iters+1, 3)
     return cs.reshape(-1, 3)
 
 

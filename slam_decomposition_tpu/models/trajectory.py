@@ -109,31 +109,26 @@ def drive_pulse_for_target(
     x0[..., 2:] = rng.uniform(-4.0, 4.0, (1, restarts, 2 * n_slices))
     x0 = jnp.asarray(x0)
 
-    from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
+    from slam_decomposition_tpu.opt.gauss_newton import make_driven_solver
 
     if mode == "exact":
-        solver = jax.jit(
-            make_solver(eval_fn, n_params, adam_iters=400, lm_iters=12)
-        )
-        # Adam over a driven (Trotter) core: host-pinned on TPU backends
-        # (worker-crash fault, gauss_newton.driven_adam_device)
-        with driven_adam_device():
-            bx, bf = solver(x0, tgt)
+        # Adam over a driven (Trotter) core: trip-count-segmented device
+        # dispatches on TPU (gauss_newton.make_driven_solver; the round-4
+        # whole-solve host pin remains reachable via SLAM_DRIVEN_MODE=host)
+        solver = make_driven_solver(eval_fn, n_params, adam_iters=400, lm_iters=12)
+        bx, bf = solver(x0, tgt)
         return np.asarray(bx[0]), float(bf[0])
 
-    solver = jax.jit(
-        make_solver(
-            eval_fn,
-            n_params,
-            adam_iters=400,
-            lm32_iters=16,
-            lm_iters=16,
-            residual="makhlin",
-            final_cost_fn=cost_lib.makhlin_functional_cost,
-        )
+    solver = make_driven_solver(
+        eval_fn,
+        n_params,
+        adam_iters=400,
+        lm32_iters=16,
+        lm_iters=16,
+        residual="makhlin",
+        final_cost_fn=cost_lib.makhlin_functional_cost,
     )
-    with driven_adam_device():
-        bx, bf = solver(x0, tgt)
+    bx, bf = solver(x0, tgt)
     params, loss = np.asarray(bx[0]), float(bf[0])
     # exact outer locals: target = (A2 x B2) U_pulse (A1 x B1) from the two
     # KAK forms (same pattern as transpile/passes.py:393-404)
@@ -269,19 +264,17 @@ def drive_sequence_for_target(
         x0[..., j * per + 2 : (j + 1) * per] = rng.uniform(
             -4.0, 4.0, (1, restarts, 2 * n_slices)
         )
-    solver = jax.jit(
-        make_solver(
-            core_fn, n_core, adam_iters=400, lm32_iters=16, lm_iters=16,
-            residual="makhlin",
-            final_cost_fn=cost_lib.makhlin_functional_cost,
-        )
-    )
-    from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
+    from slam_decomposition_tpu.opt.gauss_newton import make_driven_solver
 
-    # Adam over the driven core: host-pinned on TPU backends (worker-crash
-    # fault, gauss_newton.driven_adam_device)
-    with driven_adam_device():
-        bx, _ = solver(jnp.asarray(x0), tgt)
+    # Adam over the driven core: trip-count-segmented device dispatches on
+    # TPU (gauss_newton.make_driven_solver; SLAM_DRIVEN_MODE=host restores
+    # the round-4 whole-solve host pin)
+    solver = make_driven_solver(
+        core_fn, n_core, adam_iters=400, lm32_iters=16, lm_iters=16,
+        residual="makhlin",
+        final_cost_fn=cost_lib.makhlin_functional_cost,
+    )
+    bx, _ = solver(jnp.asarray(x0), tgt)
     params = np.asarray(bx[0])
 
     P = cplx.to_numpy(core_fn(jnp.asarray(params)))
@@ -325,16 +318,13 @@ def drive_sequence_for_target(
     if exact_loss > 1e-10:
         # rescue: direct full-parameter solve (phase residual), polished
         # seed as restart 0 — best of the two wins (passes.py:497-523)
-        rescue = jax.jit(
-            make_solver(
-                full_fn, n_core + 12, adam_iters=600, lm32_iters=16,
-                lm_iters=16,
-            )
+        rescue = make_driven_solver(
+            full_fn, n_core + 12, adam_iters=600, lm32_iters=16,
+            lm_iters=16,
         )
         rx0 = rng.uniform(-2 * np.pi, 2 * np.pi, (1, restarts, n_core + 12))
         rx0[0, 0] = xf
-        with driven_adam_device():
-            rxs, _ = rescue(jnp.asarray(rx0), tgt)
+        rxs, _ = rescue(jnp.asarray(rx0), tgt)
         cand = np.asarray(rxs[0])
         if exact_loss_of(cand) < exact_loss:
             xf = cand

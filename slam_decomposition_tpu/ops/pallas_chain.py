@@ -643,12 +643,19 @@ def make_adam_chain(
     adam_lr: float = 0.1,
     interpret: bool = False,
     sublanes: int = SUBLANES,
+    with_cost: bool = False,
 ):
     """Build run(x0 (L, 6k+6) f32, tgt pair of (L, 4, 4) f32) -> x (L, 6k+6).
 
     ``Gs``: (k, 4, 4) complex numpy constants of the per-cycle 2Q gates.
     Lanes are padded to a multiple of sublanes*128; the pad lanes re-run
     lane 0 (harmless).
+
+    ``with_cost=True`` additionally returns the per-lane square cost at the
+    final iterate, (L,) f32 — one extra fused forward eval per lane
+    (~0.3% of the loop's flops). Callers use it to rank restarts BEFORE
+    the f32-LM pass, so the LM ranking kernel can run on a top-m subset
+    of lanes instead of all of them (opt/gauss_newton.make_solver top_m).
     """
     Gs = np.asarray(Gs, dtype=complex)
     k = Gs.shape[0]
@@ -667,13 +674,13 @@ def make_adam_chain(
         axis=1,
     ).astype(np.float32)
 
-    def kernel(sched_ref, x_ref, t_ref, o_ref):
+    def kernel(sched_ref, x_ref, t_ref, o_ref, *maybe_f_ref):
         T = [
             [(t_ref[4 * i + j], t_ref[16 + 4 * i + j]) for j in range(4)]
             for i in range(4)
         ]
 
-        def cost_sum(xs):
+        def cost_lane(xs):
             x = [xs[p] for p in range(n_params)]
             U = _chain(x, Gs, k)
             # tr(T^dag U) summed entrywise; square cost per lane
@@ -685,8 +692,10 @@ def make_adam_chain(
                     ure, uim = U[i][j]
                     tr_re = tr_re + tre * ure + tim * uim
                     tr_im = tr_im + tre * uim - tim * ure
-            cost = 1.0 - (tr_re * tr_re + tr_im * tr_im + 4.0) / 20.0
-            return jnp.sum(cost)
+            return 1.0 - (tr_re * tr_re + tr_im * tr_im + 4.0) / 20.0
+
+        def cost_sum(xs):
+            return jnp.sum(cost_lane(xs))
 
         g_fn = jax.grad(cost_sum)
 
@@ -708,7 +717,15 @@ def make_adam_chain(
             (x0, jnp.zeros_like(x0), jnp.zeros_like(x0)),
         )
         o_ref[:] = x
+        if with_cost:
+            maybe_f_ref[0][:] = cost_lane(x)
 
+    out_shape = jax.ShapeDtypeStruct((n_params, sublanes, LANES), jnp.float32)
+    if with_cost:
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((sublanes, LANES), jnp.float32),
+        )
     call = pl.pallas_call(
         kernel,
         in_specs=[
@@ -716,8 +733,10 @@ def make_adam_chain(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_params, sublanes, LANES), jnp.float32),
+        out_specs=jax.tree_util.tree_map(
+            lambda _: pl.BlockSpec(memory_space=pltpu.VMEM), out_shape
+        ),
+        out_shape=out_shape,
         interpret=interpret,
     )
     sched = jnp.asarray(sched_np)
@@ -742,6 +761,10 @@ def make_adam_chain(
         )
         tt = tile(tflat, 32)
         out = jax.lax.map(lambda a: call(sched, a[0], a[1]), (xt, tt))
+        if with_cost:
+            xs, fs = out
+            xs = xs.transpose(0, 2, 3, 1).reshape(nt * tb, n_params)[:L]
+            return xs, fs.reshape(nt * tb)[:L]
         return out.transpose(0, 2, 3, 1).reshape(nt * tb, n_params)[:L]
 
     return run

@@ -195,21 +195,48 @@ class TemplateOptimizer:
             )
             with_history = self.use_callback
             hist_fn = jax.jit(base.with_history) if with_history else None
-            fast = jax.jit(base)
+            driven = getattr(ansatz, "driven", False)
+            if driven and not with_history:
+                # driven (Trotter/expm) evals: the long Adam scan crashes
+                # this environment's TPU worker in ONE dispatch; the
+                # segmented driven solver keeps it on the accelerator as
+                # <=seg-iteration dispatches (gauss_newton.
+                # make_driven_solver; SLAM_DRIVEN_MODE=host restores the
+                # round-4 whole-solve host pin)
+                from slam_decomposition_tpu.opt.gauss_newton import (
+                    make_driven_solver,
+                )
+
+                fast = make_driven_solver(
+                    ansatz.eval_fn,
+                    ansatz.n_params,
+                    adam_iters=iter_kw.get("adam_iters", 100),
+                    lower=jnp.asarray(ansatz.lower)
+                    if ansatz.use_bounds
+                    else None,
+                    upper=jnp.asarray(ansatz.upper)
+                    if ansatz.use_bounds
+                    else None,
+                    residual=residual,
+                    final_cost_fn=final_cost,
+                    chain_gates=ansatz.chain_gates,
+                    **{k: v for k, v in iter_kw.items() if k != "adam_iters"},
+                )
+            else:
+                fast = jax.jit(base)
 
             def solver(x0s, tgt_pair):
-                # driven (Trotter/expm) evals: Adam-bearing solves are
-                # host-pinned on TPU backends — long Adam scans over such
-                # bodies crash this environment's TPU worker process
-                # (gauss_newton.driven_adam_device)
                 from slam_decomposition_tpu.opt.gauss_newton import (
                     driven_adam_device,
                 )
                 import contextlib
 
+                # the history path keeps the round-4 host pin: its Adam
+                # scan logs every iterate (solve_with_history), which the
+                # segment runner does not reproduce
                 ctx = (
                     driven_adam_device()
-                    if getattr(ansatz, "driven", False)
+                    if (driven and with_history)
                     else contextlib.nullcontext()
                 )
                 with ctx:

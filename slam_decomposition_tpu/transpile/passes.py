@@ -535,21 +535,24 @@ def fit_substituted_pd(
 
         from slam_decomposition_tpu.opt import costs as _costs
 
-        solve = jax.jit(make_solver(
+        B, R = len(idxs), restarts
+        # Adam-bearing driven-core solve: large groups ride the accelerator
+        # via trip-count-segmented Adam dispatches (gauss_newton.
+        # make_driven_solver — the round-4 whole-solve host pin is the
+        # "host" mode, kept for small groups where a fresh remote batch
+        # executable costs more than it saves, and via SLAM_DRIVEN_MODE)
+        from slam_decomposition_tpu.opt.gauss_newton import make_driven_solver
+
+        solve = make_driven_solver(
             core_fn, n_params, adam_iters=400, lm32_iters=16, lm_iters=16,
             residual="makhlin", final_cost_fn=_costs.makhlin_functional_cost,
-        ))
-        B, R = len(idxs), restarts
+            mode=None if _use_accel(B) else "host",
+        )
         tgts = cplx.from_numpy(np.stack([blocks[i].unitary for i in idxs]))
         x0 = rng.uniform(-2 * np.pi, 2 * np.pi, (B, R, n_params))
         for j, i in enumerate(idxs):
             x0[j, :, :m] = plans[i]
-        # Adam-bearing driven-core solve: host-pinned on TPU backends
-        # (the worker-crash fault, see gauss_newton.driven_adam_device)
-        from slam_decomposition_tpu.opt.gauss_newton import driven_adam_device
-
-        with driven_adam_device():
-            xs, fs = solve(jnp.asarray(x0), tgts)
+        xs, fs = solve(jnp.asarray(x0), tgts)
         xs, fs = np.asarray(xs), np.asarray(fs)
         # --- stage 2: exact outer locals by KAK sandwich of the fitted
         # core, giving a near-converged FULL parameterization...
@@ -619,10 +622,10 @@ def fit_substituted_pd(
         infids = _infids_of(x_pol, idxs)
         fail = [j for j in range(B) if infids[j] > threshold]
         if fail:
-            rescue = jax.jit(make_solver(
+            rescue = make_driven_solver(
                 full_fn, n_core + 12, adam_iters=600, lm32_iters=16,
-                lm_iters=16,
-            ))
+                lm_iters=16, mode=None if _use_accel(len(fail)) else "host",
+            )
             rt = cplx.from_numpy(
                 np.stack([blocks[idxs[j]].unitary for j in fail])
             )
@@ -631,8 +634,7 @@ def fit_substituted_pd(
             for jj, j in enumerate(fail):
                 rx0[jj, :, :m] = plans[idxs[j]]
                 rx0[jj, 0] = x_pol[j]  # restart 0: the polished seed
-            with driven_adam_device():
-                rxs, rfs = rescue(jnp.asarray(rx0), rt)
+            rxs, rfs = rescue(jnp.asarray(rx0), rt)
             rxs = np.asarray(rxs)
             r_infids = _infids_of(rxs, [idxs[j] for j in fail])
             for jj, j in enumerate(fail):

@@ -188,3 +188,55 @@ def test_solver_with_pallas_backend_certifies():
     )
     _, bf = solver(x0, tp)
     assert np.asarray(bf).max() < 1e-10
+
+
+def test_adam_chain_with_cost_matches_separate_eval():
+    """with_cost=True returns the per-lane square cost at the final Adam
+    iterate — must equal evaluating the cost at the returned params."""
+    a = build_ansatz(cycle_gates([gates.SQISWAP], K))
+    L = 8
+    tp = cplx.from_numpy(haar_sample(L, seed=5))
+    t32 = (tp[0].astype(jnp.float32), tp[1].astype(jnp.float32))
+    x0 = (
+        jax.random.uniform(jax.random.PRNGKey(2), (L, a.n_params)).astype(
+            jnp.float32
+        )
+        * 2
+        * np.pi
+    )
+    xs, fs = make_adam_chain(
+        a.chain_gates, adam_iters=ITERS, interpret=True, sublanes=8,
+        with_cost=True,
+    )(x0, *t32)
+    V = jax.vmap(a.eval_fn)(jnp.asarray(xs, jnp.float64))
+    tr = cplx.trace(cplx.matmul(cplx.dagger(tp), V))
+    want = np.asarray(1.0 - (cplx.abs2(tr) + 4.0) / 20.0)
+    np.testing.assert_allclose(np.asarray(fs), want, atol=2e-6)
+
+
+def test_solver_top_m_certifies_and_matches_flat_winner():
+    """top_m=2 keeps certification on Haar targets (XLA path; the ranking
+    cut must not drop the converging basin) and the interpret-mode Pallas
+    Adam wires the with_cost output through make_solver."""
+    a = build_ansatz(cycle_gates([gates.SQISWAP], 3))
+    B, R = 4, 4
+    tp = cplx.from_numpy(haar_sample(B, seed=13))
+    x0 = (
+        jax.random.uniform(
+            jax.random.PRNGKey(3), (B, R, a.n_params), dtype=jnp.float64
+        )
+        * 2
+        * np.pi
+    )
+    for backend in ("xla", "pallas_interpret"):
+        solver = jax.jit(
+            make_solver(
+                a.eval_fn,
+                a.n_params,
+                top_m=2,
+                chain_gates=a.chain_gates,
+                adam_backend=backend,
+            )
+        )
+        _, bf = solver(x0, tp)
+        assert np.asarray(bf).max() < 1e-10, backend
