@@ -51,6 +51,7 @@ TOP_M = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 LM_ITERS = int(sys.argv[5]) if len(sys.argv) > 5 else 6
 N = int(sys.argv[6]) if len(sys.argv) > 6 else 10_000
 CHUNK = int(sys.argv[7]) if len(sys.argv) > 7 else 10_000
+CERT = sys.argv[8] if len(sys.argv) > 8 else "f64"
 THRESH = 1e-10
 
 
@@ -80,6 +81,7 @@ def main():
                 lm_iters=LM_ITERS,
                 top_m=TOP_M if TOP_M > 0 else None,
                 chain_gates=a.chain_gates,
+                certify=CERT,
             )
         )
 
@@ -123,6 +125,7 @@ def main():
                     "lm32_iters": LM32_ITERS,
                     "top_m": TOP_M,
                     "lm_iters": LM_ITERS,
+                    "certify": CERT,
                     "n": n,
                     "chunk": CHUNK,
                     "converged_frac": round(frac, 5),

@@ -571,12 +571,17 @@ def make_ks_assign_fn(coverage):
         in_mask[s_i, : len(ineq)] = True
         eq_mask[s_i, : len(eq)] = True
 
+    # sha256, not hash(): the digest doubles as the ExecCache name in
+    # ks_dispatchers, which must be stable ACROSS processes (builtin hash
+    # of bytes is salted per interpreter)
+    import hashlib as _hl
+
     key = (
         A_in.shape,
         A_eq.shape,
-        hash(A_in.tobytes()),
-        hash(A_eq.tobytes()),
-        hash(onehot.tobytes()),
+        _hl.sha256(A_in.tobytes()).hexdigest()[:16],
+        _hl.sha256(A_eq.tobytes()).hexdigest()[:16],
+        _hl.sha256(onehot.tobytes()).hexdigest()[:16],
     )
     # per-row tolerance scale (max coefficient magnitude incl. the constant
     # column): rows arrive L2-normalized over the coordinate columns from
@@ -671,9 +676,12 @@ def ks_dispatchers(coverage):
 
     key, assign_fn, ks_of_layer = make_ks_assign_fn(coverage)
     if key not in _KS_JIT_CACHE:
+        from slam_decomposition_tpu.utils.warmup import ExecCache
+
+        cache = ExecCache()
         _KS_JIT_CACHE[key] = (
-            ShapeDispatcher(jax.jit(assign_fn.f32)),
-            ShapeDispatcher(jax.jit(assign_fn)),
+            ShapeDispatcher(jax.jit(assign_fn.f32), cache, f"ks32-{key[2]}"),
+            ShapeDispatcher(jax.jit(assign_fn), cache, f"ksmx-{key[2]}"),
         )
     fn32, fn_mixed = _KS_JIT_CACHE[key]
     return fn32, fn_mixed, ks_of_layer

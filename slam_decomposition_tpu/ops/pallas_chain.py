@@ -553,10 +553,14 @@ def polish_block(xh, xl, th, tl, Gs: np.ndarray, lm_iters: int):
     f0 = sumsq_hi(r0)
     r0_hi = jnp.stack([r[0] for r in r0])
     lam0 = jnp.full_like(f0, 1e-3)
-    xh, xl, _, _, _ = jax.lax.fori_loop(
+    xh, xl, _, _, f0 = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(lm_iters), lm_step, (xh, xl, lam0, r0_hi, f0)
     )
-    return xh, xl
+    # f0 = ||r||^2 of the final ACCEPTED iterate, from the df64 residual's
+    # hi words (|error| <~ 2^-24 relative of an already ~2^-47-accurate
+    # residual): callers can certify on it without a separate f64 chain
+    # eval (see make_polish_chain with_cost)
+    return xh, xl, f0
 
 
 def make_polish_chain(
@@ -564,6 +568,7 @@ def make_polish_chain(
     lm_iters: int = 6,
     interpret: bool = False,
     sublanes: int = 8,
+    with_cost: bool = False,
 ):
     """Fused double-single LM polish kernel.
 
@@ -571,30 +576,45 @@ def make_polish_chain(
     XLA emulated-f64 polish phase (the round-1 bottleneck at 71% of solve
     time); the ~2^-47 double-single residual drives true losses to ~1e-25,
     and final certification stays in real f64 on the host path.
+
+    ``with_cost=True`` additionally returns the final accepted iterate's
+    ||r||^2 per lane, (L,) f32 — the df64 residual's hi-word sum of
+    squares, i.e. a ~2^-24-relative reading of a ~2^-47-accurate
+    residual. |tr| = (8 - ||r||^2)/2, so the square cost follows
+    algebraically; callers certifying at 1e-10 get >=6 accurate digits
+    at the threshold, replacing the ~20 ms/chunk XLA emulated-f64 chain
+    eval (the per-chunk anatomy measured 2026-08-20; TPU-gated parity
+    test vs true f64: tests/test_pallas.py).
     """
     Gs = np.asarray(Gs, dtype=complex)
     k = Gs.shape[0]
     n = 6 * (k + 1)
     tb = sublanes * LANES
 
-    def kernel(xh_ref, xl_ref, th_ref, tl_ref, oh_ref, ol_ref):
-        xh, xl = polish_block(
+    def kernel(xh_ref, xl_ref, th_ref, tl_ref, oh_ref, ol_ref, *maybe_f):
+        xh, xl, f = polish_block(
             xh_ref[:], xl_ref[:], th_ref[:], tl_ref[:], Gs, lm_iters
         )
         oh_ref[:] = xh
         ol_ref[:] = xl
+        if with_cost:
+            maybe_f[0][:] = f
 
+    out_shape = (
+        jax.ShapeDtypeStruct((n, sublanes, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n, sublanes, LANES), jnp.float32),
+    )
+    if with_cost:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((sublanes, LANES), jnp.float32),
+        )
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=jax.tree_util.tree_map(
+            lambda _: pl.BlockSpec(memory_space=pltpu.VMEM), out_shape
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, sublanes, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n, sublanes, LANES), jnp.float32),
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )
 
@@ -628,11 +648,15 @@ def make_polish_chain(
             [tgt_re.reshape(L, 16), tgt_im.reshape(L, 16)], axis=1
         )
         th, tl = split_tiles(tflat, 32)
-        oh, ol = jax.lax.map(
+        res = jax.lax.map(
             lambda a: call(a[0], a[1], a[2], a[3]), (xh, xl, th, tl)
         )
+        oh, ol = res[0], res[1]
         out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
-        return out.transpose(0, 2, 3, 1).reshape(nt * tb, n)[:L]
+        out = out.transpose(0, 2, 3, 1).reshape(nt * tb, n)[:L]
+        if with_cost:
+            return out, res[2].reshape(nt * tb)[:L]
+        return out
 
     return run
 

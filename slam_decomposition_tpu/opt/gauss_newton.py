@@ -172,6 +172,7 @@ def make_solver(
     chain_gates=None,
     adam_backend: str = "auto",
     top_m: int = None,
+    certify: str = "f64",
 ):
     """Build solve(x0s, tgt_pair) -> (best_x (B,n), best_f (B,)) where x0s
     is (B, R, n) and the target pair is ((B,4,4),(B,4,4)); jit/shard as
@@ -187,6 +188,16 @@ def make_solver(
     happens INSIDE the jit (lax.top_k + gather), adding no dispatch
     barrier — unlike the round-2 pass-escalation ladder, whose serial
     collect-then-escalate round cost more than it saved.
+
+    ``certify``: "f64" (default) evaluates the returned losses with a true
+    f64 chain eval (XLA-emulated on TPU, ~20 ms per 10k-lane chunk —
+    measured per-chunk anatomy, 2026-08-20). "df64" derives them inside
+    the Pallas polish kernel from the final accepted double-single
+    residual: cost = 0.2*||r||^2 - ||r||^4/80 exactly (||r||^2 = 8-2|tr|
+    for unitary pairs), accurate to ~6e-8 RELATIVE — >=6 digits at the
+    1e-10 certification bar (TPU-gated parity test vs true f64 in
+    tests/test_pallas.py). Only takes effect on the Pallas polish path;
+    ``solve.certify`` remains true-f64 either way.
 
     ``residual``: "phase" (exact-unitary match — square/basic objectives)
     or "makhlin" (local-equivalence-class match — the reduced/Weyl/Makhlin
@@ -237,7 +248,11 @@ def make_solver(
             if lm32_iters > 0 and not interp:
                 pallas_lm = make_lm_chain(chain_gates, lm_iters=lm32_iters)
             if lm_iters > 0 and not interp:
-                pallas_polish = make_polish_chain(chain_gates, lm_iters=lm_iters)
+                pallas_polish = make_polish_chain(
+                    chain_gates,
+                    lm_iters=lm_iters,
+                    with_cost=certify == "df64",
+                )
 
     def cost64(x, tgt):
         if final_cost_fn is not None:
@@ -464,8 +479,13 @@ def make_solver(
             xs32, best0[:, None, None], axis=1
         ).squeeze(1).astype(x0s.dtype)
         if pallas_polish is not None:
-            # double-single on-chip polish; certification below stays in
-            # true f64
+            # double-single on-chip polish
+            if certify == "df64":
+                xs, fker = pallas_polish(xs, tgt[0], tgt[1])
+                # exact algebra, no cancellation: cost = 0.2 f - f^2/80
+                # with f = ||r||^2 = 8 - 2|tr| (see `certify` docstring)
+                f = fker.astype(jnp.float64)
+                return xs, 0.2 * f - f * f / 80.0
             xs = pallas_polish(xs, tgt[0], tgt[1])
         elif lm_iters > 0:
             # LM holds jacfwd tangent intermediates (~2 MB/lane in f64):
@@ -511,7 +531,8 @@ def make_solver(
         (B, n). No Adam phase (which would destroy a near-converged
         seed)."""
         if pallas_polish is not None and (iters is None or iters == lm_iters):
-            return pallas_polish(x0s_flat, tgt[0], tgt[1])
+            out = pallas_polish(x0s_flat, tgt[0], tgt[1])
+            return out[0] if certify == "df64" else out
         return jax.lax.map(
             lambda a: lm_one(a[0], (a[1], a[2]), iters=iters),
             (x0s_flat, tgt[0], tgt[1]),

@@ -83,14 +83,19 @@ def lm_iter_flops(k: int, df64_residual: bool = False) -> float:
 
 def solve_flops_per_target(
     k: int, restarts: int, adam_iters: int = 100, lm32_iters: int = 8,
-    polish_iters: int = 6,
+    polish_iters: int = 6, cert: str = "df64",
 ) -> float:
     """Per-target flops of the full three-phase solve: Adam + f32 LM on
     every restart lane, df64 polish on the winner only, + one df64 init
-    residual and the true-f64 certification (~20x F, XLA-emulated)."""
+    residual. Certification: "df64" (bench default since round 5) reads
+    the final accepted residual the polish loop already computed — zero
+    extra flops; "f64" charges the old true-f64 XLA chain eval (~20x F
+    nominal; in WALL CLOCK it was ~60% of each chunk because emulated-f64
+    4x4 work lowers to layout-shuffled small ops at ~2.5 Gflop/s — the
+    round-5 measurement that motivated the switch)."""
     per_lane = adam_iters * adam_iter_flops(k) + lm32_iters * lm_iter_flops(k)
     winner = polish_iters * lm_iter_flops(k, df64_residual=True) + 10 * chain_flops(k)
-    certify = 20.0 * chain_flops(k)
+    certify = 20.0 * chain_flops(k) if cert == "f64" else 0.0
     return restarts * per_lane + winner + certify
 
 

@@ -240,3 +240,77 @@ def test_solver_top_m_certifies_and_matches_flat_winner():
         )
         _, bf = solver(x0, tp)
         assert np.asarray(bf).max() < 1e-10, backend
+
+
+def test_df64_certification_algebra_matches_cost64():
+    """cost = 0.2 f - f^2/80 with f = ||r||^2 (phase residual) must equal
+    the square cost exactly for unitary pairs — the identity behind
+    make_solver(certify='df64')."""
+    from slam_decomposition_tpu.opt.gauss_newton import _phase_residual
+
+    a = build_ansatz(cycle_gates([gates.SQISWAP], 2))
+    L = 32
+    tp = cplx.from_numpy(haar_sample(L, seed=17))
+    xs = jnp.asarray(
+        np.random.default_rng(4).uniform(0, 2 * np.pi, (L, a.n_params))
+    )
+
+    def per_lane(x, t0, t1):
+        r = _phase_residual(a.eval_fn, x, (t0, t1))
+        f = jnp.sum(r * r)
+        V = a.eval_fn(x)
+        tr = cplx.trace(cplx.matmul(cplx.dagger((t0, t1)), V))
+        cost = 1.0 - (cplx.abs2(tr) + 4.0) / 20.0
+        return 0.2 * f - f * f / 80.0, cost
+
+    got, want = jax.vmap(per_lane)(xs, tp[0], tp[1])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-14)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="polish kernel is compiled-only (see LM kernel note)",
+)
+def test_polish_with_cost_on_tpu_matches_true_f64_cert():
+    """The with_cost output of the polish kernel, mapped through the
+    certification algebra, must agree with the true-f64 chain eval to
+    well below the 1e-10 bar — and give identical <=1e-10 verdicts."""
+    from slam_decomposition_tpu.ops.pallas_chain import (
+        make_adam_chain,
+        make_lm_chain,
+        make_polish_chain,
+    )
+
+    a = build_ansatz(cycle_gates([gates.SQISWAP], K))
+    L = 2048
+    tp = cplx.from_numpy(haar_sample(L, seed=23))
+    t32 = (tp[0].astype(jnp.float32), tp[1].astype(jnp.float32))
+    x0 = (
+        jax.random.uniform(jax.random.PRNGKey(7), (L, a.n_params)).astype(
+            jnp.float32
+        )
+        * 2
+        * np.pi
+    )
+    xa = make_adam_chain(a.chain_gates)(x0, *t32)
+    xl, _ = make_lm_chain(a.chain_gates)(xa, *t32)
+    xp, fk = make_polish_chain(a.chain_gates, lm_iters=6, with_cost=True)(
+        jnp.asarray(xl, jnp.float64), tp[0], tp[1]
+    )
+    f = np.asarray(fk, np.float64)
+    got = 0.2 * f - f * f / 80.0
+
+    V = jax.vmap(a.eval_fn)(jnp.asarray(xp, jnp.float64))
+    tr = cplx.trace(cplx.matmul(cplx.dagger(tp), V))
+    want = np.asarray(1.0 - (cplx.abs2(tr) + 4.0) / 20.0)
+
+    # identical certification verdicts at the 1e-10 bar; the delta is
+    # RELATIVE f32 rounding (~2^-24) — tiny absolutely wherever the cost
+    # is small (measured on-chip 2026-08-21: max 1.1e-15 on converged
+    # lanes, 6.7e-16 in the (1e-12, 1e-8) band, 2.5e-8 only at cost
+    # ~0.13 on never-converged lanes)
+    assert ((got <= 1e-10) == (want <= 1e-10)).all()
+    d = np.abs(got - want)
+    assert (d <= 1e-13 + 1e-6 * np.abs(want)).all()
+    near = want < 1e-8
+    assert near.any() and d[near].max() < 1e-12

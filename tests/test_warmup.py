@@ -104,3 +104,40 @@ def test_explicit_max_layers_truncates_cached_coverage(tmp_path, monkeypatch):
     assert [len(c.operations) for c in capped_cached] == [
         len(c.operations) for c in capped_nocache
     ]
+
+
+def test_exec_cache_roundtrip(tmp_path):
+    """ExecCache stores a serialized compiled executable and a FRESH
+    dispatcher satisfies warm_all from it with no tracing (trace() raises
+    if called); results match the jit path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_decomposition_tpu.utils.warmup import (
+        ExecCache,
+        ShapeDispatcher,
+        warm_all,
+    )
+
+    cache = ExecCache(dir=str(tmp_path))
+
+    @jax.jit
+    def f(x):
+        return jnp.sin(x) * 2.0 + x
+
+    x = jnp.arange(8.0)
+    d1 = ShapeDispatcher(f, cache, "testfn")
+    warm_all([(d1, (x,))])
+    assert d1.fallback_calls == 0
+    want = np.asarray(d1(x))
+    assert d1.fallback_calls == 0
+
+    d2 = ShapeDispatcher(f, cache, "testfn")
+    assert d2.try_load(x)  # pure load, no trace/compile
+    np.testing.assert_allclose(np.asarray(d2(x)), want)
+    assert d2.fallback_calls == 0
+
+    # a different name misses (stale/foreign entries never load silently)
+    d3 = ShapeDispatcher(f, cache, "otherfn")
+    assert not d3.try_load(x)
