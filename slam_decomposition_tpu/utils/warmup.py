@@ -244,7 +244,12 @@ def warm_all(
                 def load_job(d=disp, a=args):
                     import jax as _jax
 
-                    _jax.block_until_ready(d(*a))
+                    # hard sync via device_get: block_until_ready has been
+                    # observed returning EARLY on the axon relay
+                    # (docs/profile_solver.md timing-protocol note), which
+                    # would leave the real load to the next caller
+                    out = d(*a)
+                    _jax.device_get(_jax.tree_util.tree_leaves(out)[-1])
 
                 if log is not None:
                     log(f"exec-cache hit {name} in {time.time() - t0:.1f}s")
