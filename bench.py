@@ -132,6 +132,7 @@ def build(k):
             lm32_iters=8,
             lm_iters=6,
             chain_gates=a.chain_gates,
+            certify=CERT,
         )
     else:
         from slam_decomposition_tpu.opt.gauss_newton import make_solver
@@ -146,8 +147,10 @@ def build(k):
         )
     # ExecCache: warmup loads the serialized COMPILED executable when one
     # exists for this code version + worker (skips tracing AND compile);
-    # see utils/warmup.ExecCache
-    return ShapeDispatcher(solver, ExecCache(), f"solve-k{k}"), a
+    # see utils/warmup.ExecCache. Mesh and plain programs share arg
+    # signatures, so the name must carry the path choice.
+    name = f"solve-k{k}-mesh" if USE_MESH else f"solve-k{k}"
+    return ShapeDispatcher(solver, ExecCache(), name), a
 
 
 def launch_bucket(T, idx, solver, ansatz, key):

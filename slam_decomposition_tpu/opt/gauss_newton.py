@@ -539,8 +539,22 @@ def make_solver(
             batch_size=1024,
         )
 
+    def polish_cert(x0s_flat, tgt):
+        """polish + certified losses in ONE pass: (B, n) -> ((B, n), (B,)).
+        On the df64 path the loss is the kernel's final accepted residual
+        (zero extra evals — see ``certify``); otherwise it is the true-f64
+        cost64 eval. The mesh solver's per-shard tail uses this so the
+        sharded program certifies the same way the plain one does."""
+        if pallas_polish is not None and certify == "df64":
+            xs, fker = pallas_polish(x0s_flat, tgt[0], tgt[1])
+            f = fker.astype(jnp.float64)
+            return xs, 0.2 * f - f * f / 80.0
+        xs = polish(x0s_flat, tgt)
+        return xs, jax.vmap(cost64)(xs, tgt)
+
     solve.with_history = solve_with_history
     solve.polish = polish
+    solve.polish_cert = polish_cert
     solve.certify = lambda xs, tgt: jax.vmap(cost64)(xs, tgt)
     solve.adam_segment = adam_segment
     return solve

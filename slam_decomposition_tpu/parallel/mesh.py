@@ -161,6 +161,7 @@ def sharded_solver_smap(
     lm_iters: int = 10,
     lm32_iters: int = 8,
     chain_gates=None,
+    certify: str = "f64",
 ):
     """shard_map variant of :func:`sharded_solver` with explicit
     collectives — the form that runs the fused Pallas kernels per-device on
@@ -178,7 +179,6 @@ def sharded_solver_smap(
     on TPU backends; on CPU meshes the same code rides the XLA path.
     """
     from slam_decomposition_tpu.opt.gauss_newton import make_solver
-    from slam_decomposition_tpu.ops import cplx
 
     dp = mesh.shape["dp"]
     rp = mesh.shape["rp"]
@@ -199,13 +199,8 @@ def sharded_solver_smap(
         lm32_iters=0,
         lm_iters=lm_iters,
         chain_gates=chain_gates,
+        certify=certify,
     )
-
-    def final_cost(x, t0, t1):
-        V = ansatz.eval_fn(x)
-        tr = cplx.trace(cplx.matmul(cplx.dagger((t0, t1)), V))
-        d = V[0].shape[-1]
-        return 1.0 - (cplx.abs2(tr) + d) / (d * (d + 1.0))
 
     def local(x0s, t0, t1):
         xs, bf = local_solve(x0s, (t0, t1))  # (Bl, n), (Bl,)
@@ -213,8 +208,10 @@ def sharded_solver_smap(
         bf_all = jax.lax.all_gather(bf, "rp")
         best = jnp.argmin(bf_all, axis=0)
         xw = jnp.take_along_axis(xs_all, best[None, :, None], axis=0)[0]
-        xw = polisher.polish(xw, (t0, t1))
-        bfw = jax.vmap(final_cost, in_axes=(0, 0, 0))(xw, t0, t1)
+        # polish + certification in one pass — identical certification
+        # semantics to the plain solver (df64 in-kernel when certify=
+        # "df64" and the Pallas kernels are engaged; true-f64 otherwise)
+        xw, bfw = polisher.polish_cert(xw, (t0, t1))
         return xw, bfw
 
     fn = jax.shard_map(
