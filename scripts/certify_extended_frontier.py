@@ -150,15 +150,24 @@ def certify_row(name: str, k: int, n_targets: int):
 def main():
     summary = config.cache_path("extended_results.json")
     rows = json.loads(summary.read_text())
-    results = []
+    out_path = config.cache_path("frontier_certification.json")
+    try:
+        results = json.loads(out_path.read_text())
+    except (OSError, json.JSONDecodeError):
+        results = []
+    done = {(r["name"], r["k"]) for r in results}
+    # k=1 rows first (where the headline volume wins live), then k=2+
+    todo = []
     for name, per_k in rows.items():
         for k_str, (base_vol, ext_vol, *_flags) in sorted(per_k.items()):
             k = int(k_str)
-            if ext_vol <= base_vol + 1e-12:
-                continue  # no claimed win at this row
-            results.append(certify_row(name, k, N_TARGETS))
-    out_path = config.cache_path("frontier_certification.json")
-    out_path.write_text(json.dumps(results, indent=1))
+            if ext_vol <= base_vol + 1e-12 or (name, k) in done:
+                continue  # no claimed win at this row / already certified
+            todo.append((k, name))
+    for k, name in sorted(todo):
+        results.append(certify_row(name, k, N_TARGETS))
+        # incremental write: partial results survive a timeout/cutoff
+        out_path.write_text(json.dumps(results, indent=1))
     print(f"# wrote {out_path}", file=sys.stderr)
 
 

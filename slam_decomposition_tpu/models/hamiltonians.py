@@ -120,15 +120,15 @@ def smush_u(phi_c, phi_g, gc, gg, gx_vec, gy_vec, t=1.0, dtype=jnp.float64):
     Reference: ConversionGainSmush.construct_U (hamiltonian.py:131-144).
 
     The slice loop UNROLLS for small static N (a Python loop, no
-    lax.scan): on this environment's TPU runtime, reverse-mode AD through
-    a lax.scan nested inside an outer optimization scan CRASHES the TPU
-    worker process (bisected 2026-08-20 on the fit_substituted_pd
-    stage-1 solver: Adam-over-grad-of-scan dies for both the Makhlin and
-    phase objectives, while the same program's LM stages — linearize +
-    fori_loop over the same inner scan — run fine, as does Adam over
-    scan-free chains). Typical N here is 2-16 slices, where unrolling is
-    also simply the faster program; genuinely long slice vectors (OCT
-    pulse shaping) keep the scan.
+    lax.scan) — a PERFORMANCE choice: typical N here is 2-16 slices,
+    where unrolling is simply the faster program; genuinely long slice
+    vectors (OCT pulse shaping) keep the scan. Unrolling does NOT fix
+    the TPU worker-crash fault (long Adam scans over this propagator
+    kill the worker with the inner scan unrolled too — the bisect record
+    in opt/gauss_newton.driven_adam_device); the actual mitigation is
+    trip-count segmentation of the OUTER Adam loop
+    (opt/gauss_newton.make_driven_solver, round 5), with the whole-solve
+    host pin as its fallback mode.
     """
     gx_vec = jnp.asarray(gx_vec, dtype=dtype)
     gy_vec = jnp.asarray(gy_vec, dtype=dtype)

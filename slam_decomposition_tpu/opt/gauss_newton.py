@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -136,9 +137,27 @@ def make_driven_solver(
 
         return solve_pinned
 
-    lm_only = make_solver(eval_fn, n_params, adam_iters=0, **solver_kw)
+    # device part: the f32 LM ranking + best-of-restarts selection only
+    # (lm_iters=0). The f64 polish deliberately runs HOST-side: an
+    # XLA-emulated-f64 jacfwd over a Trotter body is a pathological
+    # device program on this toolchain (a single such compile was
+    # observed >20 min through the remote service, 2026-08-21, while the
+    # same math compiles on CPU in seconds and costs ~1/200th of the
+    # Adam phase's work).
+    rank_kw = dict(solver_kw)
+    rank_lm = rank_kw.pop("lm_iters", 6)
+    rank_dev = make_solver(
+        eval_fn, n_params, adam_iters=0, lm_iters=0, **rank_kw
+    )
+    host_kw = dict(solver_kw)
+    host_kw.pop("lm32_iters", None)
+    host_kw.pop("lm_iters", None)
+    host_polish = make_solver(
+        eval_fn, n_params, adam_iters=0, lm32_iters=0,
+        lm_iters=rank_lm, **host_kw,
+    )
     seg_jit = jax.jit(full.adam_segment(seg))
-    lm_jit = jax.jit(lm_only)
+    rank_jit = jax.jit(rank_dev)
     n_segs = -(-adam_iters // seg)
 
     def solve(x0s, tgt):
@@ -149,12 +168,21 @@ def make_driven_solver(
         for s in range(n_segs):
             i0 = jnp.asarray(s * seg, dtype=jnp.float32)
             x, m, v = seg_jit(x, m, v, i0, tgt32)
-        # lm_only's zero-length Adam phase is a no-op; the f32 LM ranking
-        # + polish + certification run exactly as in the unsegmented path
-        return lm_jit(x.astype(x0s.dtype), tgt)
+        # rank entirely in f32 (x and targets): keeps every op of the
+        # device ranking program out of f64 emulation — the host polish
+        # below re-derives the f64 result and certification anyway
+        xw, _ = rank_jit(x, tgt32)
+        with jax.default_device(jax.devices("cpu")[0]):
+            xw = jnp.asarray(np.asarray(xw, dtype=np.float64))
+            tgt_h = (
+                jnp.asarray(np.asarray(tgt[0], dtype=np.float64)),
+                jnp.asarray(np.asarray(tgt[1], dtype=np.float64)),
+            )
+            xw = host_polish.polish(xw, tgt_h)
+            return xw, host_polish.certify(xw, tgt_h)
 
-    solve.polish = full.polish
-    solve.certify = full.certify
+    solve.polish = host_polish.polish
+    solve.certify = host_polish.certify
     return solve
 
 

@@ -276,11 +276,23 @@ def sqiswap_decompose_batch(
         xs = np.concatenate([x for x, _ in got])[: len(idx)]
         losses = np.concatenate([l for _, l in got])[: len(idx)]
         # certify + emit the whole k-class in one vectorized pass (the
-        # per-lane steps_to_matrix loop was the warm-pass tail)
-        all_steps = _params_to_steps_batch(xs, k, Us[idx], atol)
+        # per-lane steps_to_matrix loop was the warm-pass tail) — over
+        # the lanes whose solver loss passed atol only: a lane already
+        # over the bar is discarded regardless, so building/certifying
+        # its u3 chain is pure waste (advisor r4 low)
+        ok = losses <= atol
+        ok_idx = np.where(ok)[0]
+        ok_steps = (
+            _params_to_steps_batch(xs[ok_idx], k, Us[idx[ok_idx]], atol)
+            if len(ok_idx)
+            else []
+        )
+        all_steps = [None] * len(idx)
+        for j, s in zip(ok_idx, ok_steps):
+            all_steps[j] = s
         miss = []
         for j, i in enumerate(idx):
-            steps = all_steps[j] if losses[j] <= atol else None
+            steps = all_steps[j]
             if steps is None:
                 miss.append(i)
             else:

@@ -40,11 +40,18 @@ import jax
 
 
 def _sig(args):
+    """Signature of an argument tree: (shape, dtype) per array leaf, and
+    the VALUE for non-array leaves — a wrapped callable with static
+    (value-sensitive) arguments must not route different static values to
+    the executable compiled for the first one (advisor r4 low)."""
     leaves = jax.tree_util.tree_leaves(args)
-    return tuple(
-        (tuple(getattr(a, "shape", ())), str(getattr(a, "dtype", type(a))))
-        for a in leaves
-    )
+    out = []
+    for a in leaves:
+        if hasattr(a, "shape") and hasattr(a, "dtype"):
+            out.append((tuple(a.shape), str(a.dtype)))
+        else:
+            out.append(("pyval", repr(a)))
+    return tuple(out)
 
 
 def code_version() -> str:
