@@ -137,13 +137,21 @@ def make_driven_solver(
 
         return solve_pinned
 
-    # device part: the f32 LM ranking + best-of-restarts selection only
-    # (lm_iters=0). The f64 polish deliberately runs HOST-side: an
-    # XLA-emulated-f64 jacfwd over a Trotter body is a pathological
-    # device program on this toolchain (a single such compile was
-    # observed >20 min through the remote service, 2026-08-21, while the
-    # same math compiles on CPU in seconds and costs ~1/200th of the
-    # Adam phase's work).
+    # Device part: Adam segments + the f32 LM ranking, BOTH chunked to a
+    # fixed <=LANE lanes per dispatch. The fault envelope is work PER
+    # DISPATCH, not trip count alone: the original bisect's OK case was
+    # 20 iterations x 1024 lanes, and a 20-iteration segment at ~16k
+    # lanes still crashed the worker (QFT-64 pd fit, 2026-08-21). Fixed
+    # chunk shapes also mean ONE segment + ONE rank executable per
+    # template, independent of batch size — no per-group remote AOT.
+    #
+    # The f64 polish deliberately runs HOST-side: an XLA-emulated-f64
+    # jacfwd over a Trotter body is a pathological device program on
+    # this toolchain (a single such compile was observed >20 min through
+    # the remote service, while the same math compiles on CPU in seconds
+    # and costs ~1/200th of the Adam phase's work). The device ranking
+    # program is all-f32 for the same reason.
+    LANE = 1024
     rank_kw = dict(solver_kw)
     rank_lm = rank_kw.pop("lm_iters", 6)
     rank_dev = make_solver(
@@ -161,17 +169,40 @@ def make_driven_solver(
     n_segs = -(-adam_iters // seg)
 
     def solve(x0s, tgt):
-        tgt32 = (tgt[0].astype(jnp.float32), tgt[1].astype(jnp.float32))
-        x = x0s.astype(jnp.float32)
-        m = jnp.zeros_like(x)
-        v = jnp.zeros_like(x)
+        B, R, n = x0s.shape
+        bc = max(LANE // R, 1)  # targets per chunk; bc*R lanes <= LANE
+        nch = -(-B // bc)
+        pad_to = nch * bc
+        t_idx = np.resize(np.arange(B), pad_to)  # pad by cycling targets
+        t32 = (
+            jnp.asarray(tgt[0], jnp.float32)[jnp.asarray(t_idx)],
+            jnp.asarray(tgt[1], jnp.float32)[jnp.asarray(t_idx)],
+        )
+        x_full = (
+            x0s.astype(jnp.float32)[jnp.asarray(t_idx)]
+            .reshape(nch, bc * R, n)
+        )
+        # per-lane target replication within each chunk (restart-major)
+        t0c = jnp.repeat(t32[0], R, axis=0).reshape(nch, bc * R, 4, 4)
+        t1c = jnp.repeat(t32[1], R, axis=0).reshape(nch, bc * R, 4, 4)
+        chunks = []
+        for c in range(nch):
+            x = x_full[c]
+            m = jnp.zeros_like(x)
+            v = jnp.zeros_like(x)
+            chunks.append((x, m, v))
+        # all segment dispatches launch async; the device serializes them
         for s in range(n_segs):
             i0 = jnp.asarray(s * seg, dtype=jnp.float32)
-            x, m, v = seg_jit(x, m, v, i0, tgt32)
-        # rank entirely in f32 (x and targets): keeps every op of the
-        # device ranking program out of f64 emulation — the host polish
-        # below re-derives the f64 result and certification anyway
-        xw, _ = rank_jit(x, tgt32)
+            for c in range(nch):
+                x, m, v = chunks[c]
+                chunks[c] = seg_jit(x, m, v, i0, t0c[c], t1c[c])
+        winners = []
+        for c in range(nch):
+            x, _, _ = chunks[c]
+            xw, _ = rank_jit(x.reshape(bc, R, n), (t32[0][c * bc:(c + 1) * bc], t32[1][c * bc:(c + 1) * bc]))
+            winners.append(xw)
+        xw = np.concatenate([np.asarray(w) for w in winners])[:B]
         with jax.default_device(jax.devices("cpu")[0]):
             xw = jnp.asarray(np.asarray(xw, dtype=np.float64))
             tgt_h = (
@@ -338,16 +369,18 @@ def make_solver(
         return x
 
     def adam_segment(seg_len: int):
-        """Build seg(x, m, v, i0, tgt32) running ``seg_len`` Adam updates
-        from absolute iteration i0 on (B, R, n) f32 state. Updates past
-        ``adam_iters`` are masked out (identical iterate trajectory to the
-        single full-length scan). i0 is a traced f32 scalar, so one
-        executable serves every segment."""
+        """Build seg(x, m, v, i0, t0, t1) running ``seg_len`` Adam updates
+        from absolute iteration i0 on FLAT (L, n) f32 state with per-lane
+        (L, 4, 4) f32 target pairs. Updates past ``adam_iters`` are
+        masked out (identical iterate trajectory to the single
+        full-length scan). i0 is a traced f32 scalar, so one executable
+        serves every segment — and because the caller chunks lanes to a
+        fixed size, one executable serves every batch size too."""
 
-        def one(x, m, v, i0, tgt32):
+        def one(x, m, v, i0, t0, t1):
             def step(carry, j):
                 i = i0 + j
-                new, _ = _adam_step(carry, i, tgt32)
+                new, _ = _adam_step(carry, i, (t0, t1))
                 live = i < adam_iters
                 return (
                     tuple(
@@ -362,11 +395,10 @@ def make_solver(
             )
             return x, m, v
 
-        def seg(x, m, v, i0, tgt32):
-            return jax.vmap(
-                jax.vmap(one, in_axes=(0, 0, 0, None, None)),
-                in_axes=(0, 0, 0, None, 0),
-            )(x, m, v, i0, tgt32)
+        def seg(x, m, v, i0, t0, t1):
+            return jax.vmap(one, in_axes=(0, 0, 0, None, 0, 0))(
+                x, m, v, i0, t0, t1
+            )
 
         return seg
 

@@ -245,3 +245,48 @@ def test_multichunk_dispatch_with_padded_tail():
     # low restart/iter budget keeps the CPU test fast; most targets still
     # converge and the ones that don't must fail identically in both paths
     assert res_chunked.success.mean() > 0.5
+
+
+def test_driven_solver_segmented_matches_plain():
+    """make_driven_solver(mode='segmented') — trip-count-segmented Adam
+    chunks + device ranking + host polish — must reproduce the single-jit
+    solver: identical iterate trajectories (shared _adam_step), with only
+    f32 reassociation noise from the fixed-size chunk padding (batch-size-
+    dependent SIMD groupings can flip an accept/reject on UNCONVERGED
+    lanes by ~1e-7; converged results are pinned far tighter by the
+    host-side f64 polish)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_decomposition_tpu.models import hamiltonians as ham
+    from slam_decomposition_tpu.opt.gauss_newton import (
+        make_driven_solver,
+        make_solver,
+    )
+    from slam_decomposition_tpu.ops import cplx
+    from slam_decomposition_tpu.opt.samplers import haar_sample
+
+    n_slices = 4
+    n_params = 2 + 2 * n_slices
+
+    def eval_fn(x):
+        return ham.smush_u(
+            x[0], x[1], 0.5, 0.25, x[2 : 2 + n_slices], x[2 + n_slices :],
+            t=1.0,
+        )
+
+    B, R = 3, 4
+    tgt = cplx.from_numpy(haar_sample(B, seed=3))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(0, 2 * np.pi, (B, R, n_params)))
+    plain = jax.jit(
+        make_solver(eval_fn, n_params, adam_iters=37, lm32_iters=2, lm_iters=2)
+    )
+    seg = make_driven_solver(
+        eval_fn, n_params, adam_iters=37, seg=20, mode="segmented",
+        lm32_iters=2, lm_iters=2,
+    )
+    xp, fp = plain(x0, tgt)
+    xs, fs = seg(x0, tgt)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(fp), atol=1e-5)
